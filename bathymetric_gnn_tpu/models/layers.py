@@ -1,0 +1,153 @@
+"""Shared neural building blocks (flax.linen).
+
+Re-designs the reference's torch modules (reference: models/gnn.py:34-71,
+191-260) with a TPU-critical change: BatchNorm moments are computed over
+*live* nodes only, so bucket padding never pollutes statistics
+(SURVEY §2.5 Q4).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over nodes with padding-masked statistics.
+
+    Matches torch BatchNorm1d semantics (eps 1e-5, momentum 0.1, affine,
+    running stats; biased variance for normalization, unbiased for the
+    running update) as used via PyG BatchNorm
+    (reference: models/gnn.py:151-154,181).
+    """
+
+    features: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [N, F]
+        mask: jax.Array,  # [N] bool
+        use_running_average: bool = False,
+    ) -> jax.Array:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(self.features)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(self.features)
+        )
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            m = mask.astype(x.dtype)[:, None]
+            n = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(x * m, axis=0) / n
+            var = jnp.sum(((x - mean) ** 2) * m, axis=0) / n
+            if not self.is_initializing():
+                unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+                ra_mean.value = (
+                    (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                )
+                ra_var.value = (
+                    (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+                )
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return jnp.where(mask[:, None], y, 0.0)
+
+
+class TorchLinear(nn.Module):
+    """Dense layer with torch's default init (kaiming-uniform fan_in).
+
+    Keeps init distributions comparable to the reference's nn.Linear so
+    training dynamics start from the same regime.
+    """
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_f = x.shape[-1]
+        bound = 1.0 / jnp.sqrt(in_f)
+
+        def kaiming_uniform(key, shape, dtype=jnp.float32):
+            # torch: U(-sqrt(6/fan_in)/sqrt(3)... simplified to U(-b, b),
+            # b = sqrt(6 / fan_in) / sqrt(2)  -> torch uses gain for
+            # leaky_relu(sqrt(5)): bound = sqrt(6/((1+5)*fan_in)) = 1/sqrt(fan_in)
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        kernel = self.param("kernel", kaiming_uniform, (in_f, self.features))
+        y = x @ kernel
+        if self.use_bias:
+            b = self.param("bias", kaiming_uniform, (self.features,))
+            y = y + b
+        return y
+
+
+class MLPFeatureExtractor(nn.Module):
+    """Per-node pre-GNN MLP: in -> hidden -> ... -> hidden with ReLU+dropout
+    (reference LocalFeatureExtractor: models/gnn.py:34-71)."""
+
+    hidden_channels: int
+    num_layers: int = 2
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        for _ in range(self.num_layers):
+            x = TorchLinear(self.hidden_channels)(x)
+            x = nn.relu(x)
+            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return x
+
+
+class ClassificationHead(nn.Module):
+    """hidden -> hidden//2 -> num_classes logits
+    (reference: models/gnn.py:191-213)."""
+
+    hidden_channels: int
+    num_classes: int = 3
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = TorchLinear(self.hidden_channels // 2)(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return TorchLinear(self.num_classes)(x)
+
+
+class ConfidenceHead(nn.Module):
+    """hidden -> hidden//2 -> 1 sigmoid (reference: models/gnn.py:215-237)."""
+
+    hidden_channels: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = TorchLinear(self.hidden_channels // 2)(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return nn.sigmoid(TorchLinear(1)(x))[..., 0]
+
+
+class CorrectionHead(nn.Module):
+    """hidden -> hidden//2 -> 1 linear (reference: models/gnn.py:239-260)."""
+
+    hidden_channels: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = TorchLinear(self.hidden_channels // 2)(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return TorchLinear(1)(x)[..., 0]

@@ -1,0 +1,197 @@
+"""Multi-task loss for bathymetric GNN training.
+
+TPU-native re-design of the reference's 5-component loss
+(reference: training/losses.py:18-372), expressed as fully-masked dense
+reductions so padded nodes contribute exactly zero — no boolean indexing,
+no data-dependent shapes, everything jit-safe.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.constants import CLASS_FEATURE, CLASS_NOISE, CLASS_SEAFLOOR
+
+
+def classification_loss(
+    logits: jax.Array,  # [N, C]
+    targets: jax.Array,  # [N] int
+    node_mask: jax.Array,  # [N] bool
+    class_weights: Optional[jax.Array] = None,  # [C]
+    label_smoothing: float = 0.0,
+) -> jax.Array:
+    """Weighted CE with label smoothing, matching torch F.cross_entropy
+    (reference: training/losses.py:18-54) including its weighted-mean
+    normalization (sum of losses / sum of sample weights)."""
+    num_classes = logits.shape[-1]
+    t = jnp.clip(targets, 0, num_classes - 1)
+    onehot = jax.nn.one_hot(t, num_classes)
+    if label_smoothing > 0:
+        onehot = onehot * (1.0 - label_smoothing) + label_smoothing / num_classes
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    m = node_mask.astype(logits.dtype)
+    if class_weights is not None:
+        # torch applies per-class weights inside the smoothed sum and
+        # normalizes by sum of target-class weights
+        per_node = -jnp.sum(onehot * logp * class_weights[None, :], axis=-1)
+        denom_w = jnp.take(class_weights, t) * m
+    else:
+        per_node = -jnp.sum(onehot * logp, axis=-1)
+        denom_w = m
+    return jnp.sum(per_node * m) / jnp.maximum(jnp.sum(denom_w), 1.0)
+
+
+def huber(x: jax.Array, delta: float) -> jax.Array:
+    a = jnp.abs(x)
+    return jnp.where(a <= delta, 0.5 * x * x, delta * (a - 0.5 * delta))
+
+
+def correction_loss(
+    predicted: jax.Array,  # [N]
+    target: jax.Array,  # [N]
+    mask: jax.Array,  # [N] bool — typically noise nodes & node_mask
+    delta: float = 1.0,
+) -> jax.Array:
+    """Masked Huber on normalized corrections; 0 when mask is empty
+    (reference: training/losses.py:57-92)."""
+    m = mask.astype(predicted.dtype)
+    per = huber(predicted - target, delta) * m
+    return jnp.sum(per) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def confidence_calibration_loss(
+    confidence: jax.Array,  # [N] in (0, 1)
+    predicted_class: jax.Array,
+    true_class: jax.Array,
+    node_mask: jax.Array,
+) -> jax.Array:
+    """BCE(confidence, 1[pred == true]) (reference: training/losses.py:95-128)."""
+    correct = (predicted_class == true_class).astype(confidence.dtype)
+    c = jnp.clip(confidence, 1e-7, 1.0 - 1e-7)
+    per = -(correct * jnp.log(c) + (1.0 - correct) * jnp.log(1.0 - c))
+    m = node_mask.astype(confidence.dtype)
+    return jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def feature_preservation_loss(
+    predicted_class: jax.Array,
+    true_class: jax.Array,
+    node_mask: jax.Array,
+    penalty_weight: float = 2.0,
+) -> jax.Array:
+    """Penalty for erasing real features: weight * mean(true==feature &
+    pred==noise) (reference: training/losses.py:131-167)."""
+    bad = (
+        (true_class == CLASS_FEATURE)
+        & (predicted_class == CLASS_NOISE)
+        & node_mask
+    ).astype(jnp.float32)
+    m = node_mask.astype(jnp.float32)
+    return penalty_weight * jnp.sum(bad) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def shoal_safety_loss(
+    predicted_class: jax.Array,
+    true_class: jax.Array,
+    correction_targets: jax.Array,
+    node_mask: jax.Array,
+    shoal_penalty: float = 3.0,
+    deep_penalty: float = 1.0,
+) -> jax.Array:
+    """Asymmetric penalty on seafloor->noise false positives: shoal-direction
+    (correction < 0) x3 vs deep x1, normalized by FP count
+    (reference: training/losses.py:170-232)."""
+    fp = (
+        (true_class == CLASS_SEAFLOOR)
+        & (predicted_class == CLASS_NOISE)
+        & node_mask
+    )
+    fpf = fp.astype(jnp.float32)
+    is_shoal = correction_targets < 0
+    shoal_fp = jnp.sum(fpf * is_shoal.astype(jnp.float32))
+    deep_fp = jnp.sum(fpf * (~is_shoal).astype(jnp.float32))
+    total_fp = jnp.sum(fpf)
+    penalty = (shoal_penalty * shoal_fp + deep_penalty * deep_fp) / jnp.maximum(
+        total_fp, 1.0
+    )
+    return jnp.where(total_fp > 0, penalty, 0.0)
+
+
+def combined_loss(
+    outputs: Dict[str, jax.Array],
+    targets: Dict[str, jax.Array],
+    node_mask: jax.Array,
+    *,
+    class_weights: Optional[jax.Array] = None,
+    classification_weight: float = 1.0,
+    correction_weight: float = 0.5,
+    confidence_weight: float = 0.2,
+    feature_preservation_weight: float = 0.3,
+    shoal_safety_weight: float = 0.5,
+    label_smoothing: float = 0.0,
+    correction_delta: float = 1.0,
+) -> Dict[str, jax.Array]:
+    """Weighted 5-component objective (reference: training/losses.py:235-372).
+
+    targets: {'labels': [N] int, 'correction': [N], 'noise_mask': [N] bool}.
+    """
+    logits = outputs["class_logits"]
+    pred = outputs["predicted_class"]
+    labels = targets["labels"]
+
+    losses = {
+        "classification": classification_loss(
+            logits, labels, node_mask, class_weights, label_smoothing
+        ),
+        "confidence": confidence_calibration_loss(
+            outputs["confidence"], pred, labels, node_mask
+        ),
+        "feature_preservation": feature_preservation_loss(pred, labels, node_mask),
+        "shoal_safety": shoal_safety_loss(
+            pred, labels, targets["correction"], node_mask
+        ),
+    }
+    if "correction" in outputs and "correction" in targets:
+        corr_mask = targets.get("noise_mask", labels == CLASS_NOISE) & node_mask
+        losses["correction"] = correction_loss(
+            outputs["correction"], targets["correction"], corr_mask,
+            correction_delta,
+        )
+    else:
+        losses["correction"] = jnp.float32(0.0)
+
+    losses["total"] = (
+        classification_weight * losses["classification"]
+        + correction_weight * losses["correction"]
+        + confidence_weight * losses["confidence"]
+        + feature_preservation_weight * losses["feature_preservation"]
+        + shoal_safety_weight * losses["shoal_safety"]
+    )
+    return losses
+
+
+def compute_class_weights(
+    class_counts: np.ndarray, smoothing: float = 0.1
+) -> np.ndarray:
+    """Inverse-frequency class weights, smoothed, normalized to sum=C
+    (reference: training/losses.py:375-398)."""
+    counts = np.asarray(class_counts, np.float64)
+    total = counts.sum()
+    freq = counts / max(total, 1.0)
+    w = 1.0 / (freq + smoothing)
+    w = w / w.sum() * len(counts)
+    return w.astype(np.float32)
+
+
+def compute_correction_delta(
+    corrections: np.ndarray, min_delta: float = 1.0, percentile: float = 95.0
+) -> float:
+    """Huber delta = max(p95 of |corrections|, min_delta)
+    (reference: training/losses.py:400-460)."""
+    if corrections.size == 0:
+        return min_delta
+    return float(max(np.percentile(np.abs(corrections), percentile), min_delta))
