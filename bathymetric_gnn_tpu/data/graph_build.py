@@ -51,7 +51,7 @@ def _build_graph_device(
         valid_mask, rows, cols, node_valid, depth_filled, resolution,
         connectivity, include_self_loops,
     )
-    src, dst, attr, emask = edge_ops.compact_edges(src, dst, attr, mask, e_pad)
+    src, dst, attr, emask = edge_ops.compact_edges(src, dst, attr, mask, e_pad, n_pad)
 
     x = gf.features[rows, cols]
     x = jnp.where(node_valid[:, None], x, 0.0)

@@ -147,9 +147,16 @@ def compact_edges(
     attr: jax.Array,
     mask: jax.Array,
     e_pad: int,
+    n_pad: int,
     sort_by_dst: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Compact masked offset-major edges into e_pad slots (device-side)."""
+    """Compact masked offset-major edges into e_pad slots (device-side).
+
+    Padded edge slots point at the LAST node slot (n_pad - 1) so the
+    dst array stays globally non-decreasing — segment reductions rely on
+    ``indices_are_sorted=True``. Padded contributions are masked to zero
+    everywhere, so the target slot never observes them.
+    """
     (idx,) = jnp.nonzero(mask, size=e_pad, fill_value=0)
     n = jnp.sum(mask.astype(jnp.int32))
     keep = jnp.arange(e_pad, dtype=jnp.int32) < n
@@ -157,16 +164,16 @@ def compact_edges(
     dst_c = jnp.where(keep, jnp.take(dst, idx), 0)
     attr_c = jnp.where(keep[:, None], jnp.take(attr, idx, axis=0), 0.0)
     if sort_by_dst:
-        # stable sort by dst; padded slots (dst=0, keep=False) sort with key
-        # pushed to the end so live edges stay contiguous.
+        # stable sort by dst; padded slots sort with key pushed to the end
+        # so live edges stay contiguous.
         key = jnp.where(keep, dst_c, jnp.iinfo(jnp.int32).max)
         order = jnp.argsort(key, stable=True)
         src_c = jnp.take(src_c, order)
         dst_c = jnp.take(dst_c, order)
         attr_c = jnp.take(attr_c, order, axis=0)
         keep = jnp.take(keep, order)
-        src_c = jnp.where(keep, src_c, 0)
-        dst_c = jnp.where(keep, dst_c, 0)
+    src_c = jnp.where(keep, src_c, 0)
+    dst_c = jnp.where(keep, dst_c, n_pad - 1)
     return src_c, dst_c, attr_c, keep
 
 

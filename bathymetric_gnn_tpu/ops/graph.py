@@ -135,6 +135,13 @@ def make_padded_graph(
     edge_mask = np.zeros(e_pad, bool)
     edge_mask[:e] = True
 
+    # Padded edges target the last node slot so dst stays non-decreasing
+    # (segment ops use indices_are_sorted=True); contributions are masked.
+    dst_pad = np.full(e_pad, n_pad - 1, np.int32)
+    dst_pad[:e] = dst
+    src_pad = np.zeros(e_pad, np.int32)
+    src_pad[:e] = src
+
     pos_p = pad2(np.asarray(pos, np.float32), n_pad) if pos is not None else np.zeros(
         (n_pad, 2), np.float32
     )
@@ -147,8 +154,8 @@ def make_padded_graph(
 
     return PaddedGraph(
         x=jnp.asarray(x_p),
-        edge_src=jnp.asarray(pad2(src, e_pad)),
-        edge_dst=jnp.asarray(pad2(dst, e_pad)),
+        edge_src=jnp.asarray(src_pad),
+        edge_dst=jnp.asarray(dst_pad),
         edge_attr=jnp.asarray(pad2(np.asarray(edge_attr, np.float32), e_pad)),
         node_mask=jnp.asarray(node_mask),
         edge_mask=jnp.asarray(edge_mask),
@@ -212,6 +219,38 @@ def batch_graphs(
         graph_id=np.concatenate(gids) if gids else None,
     )
     return g, np.asarray(counts, np.int64)
+
+
+def merge_stacked(batched: PaddedGraph) -> PaddedGraph:
+    """Flatten a stacked [B, ...] PaddedGraph into one big graph on device.
+
+    The TPU-native analogue of PyG Batch semantics for a leading batch dim:
+    node arrays reshape to [B*N_pad, ...], edge indices get per-graph
+    offsets of i*N_pad. Because padded edges within each graph target slot
+    N_pad-1, the merged dst array remains globally non-decreasing, so
+    sorted-segment reductions stay valid. BatchNorm then sees the whole
+    batch's live nodes — matching the reference's batched-graph statistics
+    (reference: training/trainer.py:485-501 + PyG BatchNorm).
+    """
+    b, n_pad = batched.node_mask.shape
+    e_pad = batched.edge_mask.shape[1]
+    offsets = (jnp.arange(b, dtype=jnp.int32) * n_pad)[:, None]
+
+    def flat(a):
+        return a.reshape((-1,) + a.shape[2:])
+
+    return PaddedGraph(
+        x=flat(batched.x),
+        edge_src=flat(batched.edge_src + offsets),
+        edge_dst=flat(batched.edge_dst + offsets),
+        edge_attr=flat(batched.edge_attr),
+        node_mask=flat(batched.node_mask),
+        edge_mask=flat(batched.edge_mask),
+        pos=flat(batched.pos),
+        local_std=flat(batched.local_std),
+        graph_id=flat(jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None],
+                                       (b, n_pad))),
+    )
 
 
 def csr_row_offsets(edge_dst: np.ndarray, num_nodes: int) -> np.ndarray:
