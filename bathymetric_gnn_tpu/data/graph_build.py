@@ -151,6 +151,41 @@ class GraphBuilder:
         return BuiltGraph(g, grid_shape=None, num_nodes=n, rows=None, cols=None)
 
 
+@partial(jax.jit, static_argnames=("resolution", "connectivity", "stats_window",
+                                   "with_uncertainty"))
+def build_grid_inputs(
+    depth: jax.Array,
+    valid_mask: jax.Array,
+    uncertainty: Optional[jax.Array] = None,
+    *,
+    resolution: Tuple[float, float] = (1.0, 1.0),
+    connectivity: int = 8,
+    stats_window: int = 5,
+    with_uncertainty: bool = False,
+):
+    """Dense-path inputs for GridBathymetricGNN: (features [H,W,F],
+    valid, nbr_mask [K,H,W], edge_attr [K,H,W,3], local_std [H,W]).
+
+    Fully on device; the flagship inference/training path never leaves
+    dense [H, W] form (no compaction, no scatter).
+    """
+    from ..models.grid_gat import incoming_edge_attrs, neighbor_masks
+    from ..ops.edges import offsets_for_connectivity
+
+    depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
+    gf = feat_ops.compute_grid_features(
+        depth, valid_mask, uncertainty if with_uncertainty else None,
+        stats_window,
+    )
+    depth_filled = jnp.where(valid_mask, depth, gf.local_mean)
+    offsets = offsets_for_connectivity(connectivity)
+    nbr = neighbor_masks(valid_mask, offsets)
+    eattr = incoming_edge_attrs(depth_filled, offsets,
+                                (float(resolution[0]), float(resolution[1])))
+    eattr = jnp.where(nbr[..., None], eattr, 0.0)
+    return gf.features, valid_mask, nbr, eattr, gf.local_std
+
+
 class BuiltGraph:
     """A PaddedGraph plus host-side reconstruction metadata."""
 

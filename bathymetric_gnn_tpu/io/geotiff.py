@@ -1,0 +1,353 @@
+"""Pure-Python GeoTIFF codec (no GDAL in this environment).
+
+Replaces the reference's GDAL raster I/O (reference: data/loaders.py:93-575)
+with a self-contained TIFF implementation: multi-band float32/uint8 rasters,
+strip organization, none/deflate compression, and the GeoTIFF tags the
+pipeline needs (pixel scale, tiepoint, nodata, CRS text). Reads planar- and
+chunky-interleaved strip TIFFs; writes band-sequential strips with deflate.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# TIFF tag ids
+T_WIDTH = 256
+T_HEIGHT = 257
+T_BITS = 258
+T_COMPRESSION = 259
+T_PHOTOMETRIC = 262
+T_STRIP_OFFSETS = 273
+T_SAMPLES_PER_PIXEL = 277
+T_ROWS_PER_STRIP = 278
+T_STRIP_BYTECOUNTS = 279
+T_PLANAR = 284
+T_PREDICTOR = 317
+T_SAMPLE_FORMAT = 339
+T_MODEL_PIXEL_SCALE = 33550
+T_MODEL_TIEPOINT = 33922
+T_GEO_KEY_DIRECTORY = 34735
+T_GEO_ASCII = 34737
+T_GDAL_METADATA = 42112
+T_GDAL_NODATA = 42113
+
+TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+              11: 4, 12: 8, 16: 8, 17: 8}
+FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d", 16: "Q",
+       17: "q", 2: "s", 7: "s", 6: "b", 5: "II", 10: "ii"}
+
+
+@dataclass
+class GeoTiffInfo:
+    width: int
+    height: int
+    bands: int
+    dtype: np.dtype
+    pixel_scale: Optional[Tuple[float, float, float]] = None
+    tiepoint: Optional[Tuple[float, ...]] = None
+    nodata: Optional[float] = None
+    crs_wkt: Optional[str] = None
+
+    @property
+    def geotransform(self) -> Optional[Tuple[float, ...]]:
+        """GDAL-style geotransform (origin_x, px_w, 0, origin_y, 0, -px_h)."""
+        if self.pixel_scale is None or self.tiepoint is None:
+            return None
+        sx, sy = self.pixel_scale[0], self.pixel_scale[1]
+        i, j, _, x, y, _ = self.tiepoint[:6]
+        return (x - i * sx, sx, 0.0, y + j * sy, 0.0, -sy)
+
+
+def _read_ifd_entries(f, base, offset, endian):
+    f.seek(offset)
+    (count,) = struct.unpack(endian + "H", f.read(2))
+    entries = {}
+    for _ in range(count):
+        tag, typ, n = struct.unpack(endian + "HHI", f.read(8))
+        raw = f.read(4)
+        size = TYPE_SIZES.get(typ, 1) * n
+        if size <= 4:
+            data = raw[:size]
+        else:
+            (off,) = struct.unpack(endian + "I", raw)
+            pos = f.tell()
+            f.seek(off)
+            data = f.read(size)
+            f.seek(pos)
+        entries[tag] = (typ, n, data)
+    (next_ifd,) = struct.unpack(endian + "I", f.read(4))
+    return entries, next_ifd
+
+
+def _values(entry, endian):
+    typ, n, data = entry
+    if typ in (2, 7):
+        return data
+    code = FMT[typ]
+    if typ in (5, 10):  # rationals
+        vals = struct.unpack(endian + code * n, data)
+        return [vals[i] / vals[i + 1] for i in range(0, 2 * n, 2)]
+    return list(struct.unpack(endian + code * n, data))
+
+
+def read_geotiff(path) -> Tuple[np.ndarray, GeoTiffInfo]:
+    """Read a strip-based TIFF into [bands, H, W]."""
+    path = Path(path)
+    with open(path, "rb") as f:
+        hdr = f.read(8)
+        if hdr[:2] == b"II":
+            endian = "<"
+        elif hdr[:2] == b"MM":
+            endian = ">"
+        else:
+            raise ValueError(f"{path}: not a TIFF")
+        magic, off0 = struct.unpack(endian + "HI", hdr[2:])
+        if magic != 42:
+            raise ValueError(f"{path}: bad TIFF magic {magic}")
+        entries, _ = _read_ifd_entries(f, 0, off0, endian)
+
+        def get(tag, default=None):
+            if tag not in entries:
+                return default
+            return _values(entries[tag], endian)
+
+        width = get(T_WIDTH)[0]
+        height = get(T_HEIGHT)[0]
+        spp = get(T_SAMPLES_PER_PIXEL, [1])[0]
+        bits = get(T_BITS, [32])
+        bits0 = bits[0] if isinstance(bits, list) else bits
+        fmt = get(T_SAMPLE_FORMAT, [1])
+        fmt0 = fmt[0] if isinstance(fmt, list) else fmt
+        comp = get(T_COMPRESSION, [1])[0]
+        planar = get(T_PLANAR, [1])[0]
+        predictor = get(T_PREDICTOR, [1])[0]
+        rows_per_strip = get(T_ROWS_PER_STRIP, [height])[0]
+        offsets = get(T_STRIP_OFFSETS)
+        counts = get(T_STRIP_BYTECOUNTS)
+
+        if fmt0 == 3:
+            dtype = np.dtype({32: np.float32, 64: np.float64}[bits0])
+        elif fmt0 == 2:
+            dtype = np.dtype({8: np.int8, 16: np.int16, 32: np.int32}[bits0])
+        else:
+            dtype = np.dtype({8: np.uint8, 16: np.uint16, 32: np.uint32}[bits0])
+        dtype = dtype.newbyteorder(endian)
+
+        if comp not in (1, 8, 32946):
+            raise NotImplementedError(f"{path}: TIFF compression {comp}")
+        if predictor not in (1,):
+            raise NotImplementedError(f"{path}: TIFF predictor {predictor}")
+
+        raw_strips = []
+        for o, c in zip(offsets, counts):
+            f.seek(o)
+            buf = f.read(c)
+            if comp in (8, 32946):
+                buf = zlib.decompress(buf)
+            raw_strips.append(buf)
+
+    strips_per_band = (height + rows_per_strip - 1) // rows_per_strip
+    if planar == 2:
+        out = np.empty((spp, height, width), dtype)
+        for b in range(spp):
+            rows_done = 0
+            for s in range(strips_per_band):
+                buf = raw_strips[b * strips_per_band + s]
+                nrows = min(rows_per_strip, height - rows_done)
+                arr = np.frombuffer(buf, dtype, nrows * width)
+                out[b, rows_done:rows_done + nrows] = arr.reshape(nrows, width)
+                rows_done += nrows
+    else:
+        out = np.empty((height, width, spp), dtype)
+        rows_done = 0
+        for buf in raw_strips:
+            nrows = min(rows_per_strip, height - rows_done)
+            arr = np.frombuffer(buf, dtype, nrows * width * spp)
+            out[rows_done:rows_done + nrows] = arr.reshape(nrows, width, spp)
+            rows_done += nrows
+        out = np.moveaxis(out, -1, 0)
+
+    nodata = None
+    nd = entries.get(T_GDAL_NODATA)
+    if nd is not None:
+        try:
+            nodata = float(_values(nd, endian).split(b"\x00")[0])
+        except (ValueError, AttributeError):
+            pass
+    crs = None
+    ga = entries.get(T_GEO_ASCII)
+    if ga is not None:
+        crs = _values(ga, endian).split(b"\x00")[0].decode("ascii", "replace")
+
+    ps = entries.get(T_MODEL_PIXEL_SCALE)
+    tp = entries.get(T_MODEL_TIEPOINT)
+    info = GeoTiffInfo(
+        width=width, height=height, bands=spp,
+        dtype=np.dtype(dtype.base),
+        pixel_scale=tuple(_values(ps, endian)) if ps else None,
+        tiepoint=tuple(_values(tp, endian)) if tp else None,
+        nodata=nodata, crs_wkt=crs,
+    )
+    return np.ascontiguousarray(out.astype(dtype.base)), info
+
+
+def write_geotiff(
+    path,
+    bands: np.ndarray,  # [B, H, W] or [H, W]
+    *,
+    pixel_scale: Optional[Tuple[float, float]] = None,
+    origin: Optional[Tuple[float, float]] = None,  # (x, y) of top-left
+    nodata: Optional[float] = None,
+    crs_wkt: Optional[str] = None,
+    compress: bool = True,
+    band_descriptions: Optional[Sequence[str]] = None,
+):
+    """Write [B, H, W] float32/uint8 as a planar strip GeoTIFF."""
+    bands = np.asarray(bands)
+    if bands.ndim == 2:
+        bands = bands[None]
+    b, h, w = bands.shape
+    dtype = bands.dtype
+    if dtype == np.float64:
+        bands = bands.astype(np.float32)
+        dtype = np.dtype(np.float32)
+    if dtype == np.float32:
+        bits, sfmt = 32, 3
+    elif dtype == np.uint8:
+        bits, sfmt = 8, 1
+    elif dtype == np.int32:
+        bits, sfmt = 32, 2
+    else:
+        bands = bands.astype(np.float32)
+        dtype, bits, sfmt = np.dtype(np.float32), 32, 3
+
+    rows_per_strip = max(1, min(h, (1 << 20) // max(1, w * dtype.itemsize)))
+    strips = []
+    for bi in range(b):
+        for r0 in range(0, h, rows_per_strip):
+            chunk = np.ascontiguousarray(
+                bands[bi, r0:r0 + rows_per_strip]).tobytes()
+            strips.append(zlib.compress(chunk, 6) if compress else chunk)
+
+    entries: List[Tuple[int, int, int, bytes]] = []
+
+    def short(tag, vals):
+        vals = vals if isinstance(vals, (list, tuple)) else [vals]
+        entries.append((tag, 3, len(vals),
+                        struct.pack("<" + "H" * len(vals), *vals)))
+
+    def long_(tag, vals):
+        vals = vals if isinstance(vals, (list, tuple)) else [vals]
+        entries.append((tag, 4, len(vals),
+                        struct.pack("<" + "I" * len(vals), *vals)))
+
+    def double(tag, vals):
+        entries.append((tag, 12, len(vals),
+                        struct.pack("<" + "d" * len(vals), *vals)))
+
+    def ascii_(tag, s):
+        data = s.encode("ascii", "replace") + b"\x00"
+        entries.append((tag, 2, len(data), data))
+
+    short(T_BITS, [bits] * b)
+    short(T_COMPRESSION, 8 if compress else 1)
+    long_(T_HEIGHT, h)
+    long_(T_WIDTH, w)
+    short(T_PHOTOMETRIC, 1)
+    short(T_SAMPLES_PER_PIXEL, b)
+    long_(T_ROWS_PER_STRIP, rows_per_strip)
+    short(T_PLANAR, 2)
+    short(T_SAMPLE_FORMAT, [sfmt] * b)
+    if pixel_scale is not None:
+        double(T_MODEL_PIXEL_SCALE, [pixel_scale[0], pixel_scale[1], 0.0])
+    if origin is not None:
+        double(T_MODEL_TIEPOINT, [0.0, 0.0, 0.0, origin[0], origin[1], 0.0])
+    if crs_wkt:
+        ascii_(T_GEO_ASCII, crs_wkt)
+    if band_descriptions:
+        xml = "<GDALMetadata>" + "".join(
+            f'<Item name="DESCRIPTION" sample="{i}" role="description">{d}'
+            "</Item>" for i, d in enumerate(band_descriptions)
+        ) + "</GDALMetadata>"
+        ascii_(T_GDAL_METADATA, xml)
+    if nodata is not None:
+        ascii_(T_GDAL_NODATA, repr(float(nodata)))
+
+    # strip offsets/bytecounts filled after layout
+    n_entries_final = len(entries) + 2
+    header_size = 8
+    ifd_size = 2 + n_entries_final * 12 + 4
+    # external data area starts after IFD
+    ext = bytearray()
+    ext_base = header_size + ifd_size
+
+    packed_entries = []
+
+    def pack_entry(tag, typ, n, data):
+        size = len(data)
+        if size <= 4:
+            return struct.pack("<HHI", tag, typ, n) + data.ljust(4, b"\x00")
+        off = ext_base + len(ext)
+        ext.extend(data)
+        if len(ext) % 2:
+            ext.extend(b"\x00")
+        return struct.pack("<HHII", tag, typ, n, off)
+
+    strip_data_start = None  # computed after all external data
+
+    # First pass to lay out non-strip entries; strip offsets need final pos.
+    # Reserve strip entries with placeholder data of correct size.
+    strip_off_data = struct.pack("<" + "I" * len(strips), *([0] * len(strips)))
+    strip_cnt_data = struct.pack("<" + "I" * len(strips),
+                                 *[len(s) for s in strips])
+
+    all_entries = entries + [
+        (T_STRIP_OFFSETS, 4, len(strips), strip_off_data),
+        (T_STRIP_BYTECOUNTS, 4, len(strips), strip_cnt_data),
+    ]
+    all_entries.sort(key=lambda e: e[0])
+
+    # lay out external area
+    ext = bytearray()
+    placeholders = {}
+    packed = []
+    for tag, typ, n, data in all_entries:
+        if tag == T_STRIP_OFFSETS and len(data) > 4:
+            placeholders[tag] = ext_base + len(ext)
+        packed.append(pack_entry(tag, typ, n, data))
+
+    strip_start = ext_base + len(ext)
+    offs = []
+    pos = strip_start
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+
+    real_off_data = struct.pack("<" + "I" * len(strips), *offs)
+    if len(strips) == 1 and len(real_off_data) <= 4:
+        # inline entry: re-pack
+        packed = []
+        ext = bytearray()
+        for tag, typ, n, data in all_entries:
+            if tag == T_STRIP_OFFSETS:
+                data = real_off_data
+            packed.append(pack_entry(tag, typ, n, data))
+
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", header_size))
+        f.write(struct.pack("<H", len(packed)))
+        for p in packed:
+            f.write(p)
+        f.write(struct.pack("<I", 0))  # no next IFD
+        f.write(bytes(ext))
+        for s in strips:
+            f.write(s)
+        if T_STRIP_OFFSETS in placeholders:
+            f.seek(placeholders[T_STRIP_OFFSETS])
+            f.write(real_off_data)

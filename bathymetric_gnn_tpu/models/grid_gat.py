@@ -1,0 +1,253 @@
+"""Dense-grid GAT: message passing as shifted dense ops (flagship path).
+
+TPU-first insight: a 4/8-connected grid graph's message passing needs NO
+gather/scatter at all — each neighbor direction is a dense shift. Attention
+becomes a masked softmax over <=9 direction channels per cell; aggregation
+is 8 shifted multiply-adds that XLA fuses into VPU-friendly loops. This
+replaces the reference's PyG scatter kernels (reference: models/gnn.py:
+120-143) with math that maps directly onto the TPU's dense units.
+
+Semantics are IDENTICAL to models/conv.GATConv (PyG-exact, self-loop with
+per-destination mean edge attrs) — verified by grid-vs-COO parity tests.
+Layers share the same parameter names/shapes as conv.GATConv, so one
+checkpoint drives both paths.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.edges import offsets_for_connectivity
+from .conv import _glorot
+from .layers import (ClassificationHead, ConfidenceHead, CorrectionHead,
+                     MLPFeatureExtractor, MaskedBatchNorm)
+
+
+def shift(a: jax.Array, dr: int, dc: int) -> jax.Array:
+    """a_shifted[r, c] = a[r + dr, c + dc] (garbage wraps, masked later)."""
+    return jnp.roll(jnp.roll(a, -dr, 0), -dc, 1)
+
+
+def neighbor_masks(valid: jax.Array, offsets) -> jax.Array:
+    """[K, H, W] bool: cell has a valid in-bounds neighbor at offset k."""
+    h, w = valid.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    masks = []
+    for dr, dc in offsets:
+        inb = ((rows + dr >= 0) & (rows + dr < h)
+               & (cols + dc >= 0) & (cols + dc < w))
+        masks.append(valid & shift(valid, dr, dc) & inb)
+    return jnp.stack(masks)
+
+
+def incoming_edge_attrs(
+    depth_filled: jax.Array,
+    offsets,
+    resolution: Tuple[float, float],
+) -> jax.Array:
+    """[K, H, W, 3] edge features of the incoming edge from each offset:
+    (distance, depth[i] - depth[neighbor], slope degrees) — matching the
+    COO edge features for edge neighbor->i
+    (reference: data/graph_construction.py:329-369)."""
+    res_x, res_y = resolution
+    feats = []
+    for dr, dc in offsets:
+        dist = math.sqrt((dc * res_x) ** 2 + (dr * res_y) ** 2)
+        ddiff = depth_filled - shift(depth_filled, dr, dc)
+        slope = jnp.degrees(jnp.arctan(ddiff / dist)) if dist > 0 else (
+            jnp.zeros_like(ddiff)
+        )
+        feats.append(jnp.stack(
+            [jnp.full_like(ddiff, dist), ddiff, slope], -1))
+    return jnp.stack(feats)
+
+
+class GridGATConv(nn.Module):
+    """GAT layer on dense [H, W, F] grids. Parameter-compatible with
+    conv.GATConv."""
+
+    out_channels: int
+    heads: int = 4
+    concat: bool = True
+    negative_slope: float = 0.2
+    dropout: float = 0.0
+    edge_dim: Optional[int] = 3
+    use_bias: bool = True
+    connectivity: int = 8
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,           # [H, W, F]
+        valid: jax.Array,       # [H, W] bool
+        nbr_mask: jax.Array,    # [K, H, W] bool
+        edge_attr: jax.Array,   # [K, H, W, edge_dim]
+        deterministic: bool = True,
+    ) -> jax.Array:
+        hgt, wid, _ = x.shape
+        hds, c = self.heads, self.out_channels
+        k = nbr_mask.shape[0]
+
+        w = self.param("lin_src", _glorot, (x.shape[-1], hds * c))
+        xh = (x @ w).reshape(hgt, wid, hds, c)
+
+        att_src = self.param("att_src", _glorot, (1, hds, c))
+        att_dst = self.param("att_dst", _glorot, (1, hds, c))
+        a_src = jnp.einsum("hwac,xac->hwa", xh, att_src)  # [H, W, heads]
+        a_dst = jnp.einsum("hwac,xac->hwa", xh, att_dst)
+
+        # incoming-edge logits per offset: alpha_src at the neighbor cell
+        logits = []
+        for ki in range(k):
+            dr, dc = self._offsets[ki]
+            logits.append(shift(a_src, dr, dc) + a_dst)
+        logits = jnp.stack(logits)  # [K, H, W, heads]
+
+        if self.edge_dim is not None:
+            we = self.param("lin_edge", _glorot, (self.edge_dim, hds * c))
+            att_edge = self.param("att_edge", _glorot, (1, hds, c))
+            eh = (edge_attr @ we).reshape(k, hgt, wid, hds, c)
+            logits = logits + jnp.einsum("khwac,xac->khwa", eh, att_edge)
+            # self-loop edge attr = mean of incoming edge attrs (valid only)
+            cnt = jnp.maximum(
+                jnp.sum(nbr_mask.astype(jnp.float32), 0), 1.0
+            )[..., None]
+            mean_attr = jnp.sum(
+                jnp.where(nbr_mask[..., None], edge_attr, 0.0), 0
+            ) / cnt
+            sh = (mean_attr @ we).reshape(hgt, wid, hds, c)
+            self_logit = a_src + a_dst + jnp.einsum("hwac,xac->hwa", sh, att_edge)
+        else:
+            self_logit = a_src + a_dst
+
+        logits = nn.leaky_relu(logits, self.negative_slope)
+        self_logit = nn.leaky_relu(self_logit, self.negative_slope)
+
+        # masked softmax over K offsets + self, per cell per head
+        neg = jnp.float32(-1e30)
+        logits = jnp.where(nbr_mask[..., None], logits, neg)
+        m = jnp.maximum(jnp.max(logits, 0), self_logit)
+        e = jnp.exp(logits - m[None])
+        e = jnp.where(nbr_mask[..., None], e, 0.0)
+        e_self = jnp.exp(self_logit - m)
+        denom = jnp.sum(e, 0) + e_self
+        wts = e / jnp.maximum(denom[None], 1e-16)        # [K, H, W, heads]
+        w_self = e_self / jnp.maximum(denom, 1e-16)      # [H, W, heads]
+
+        if self.dropout > 0 and not deterministic:
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(rng, 1.0 - self.dropout, wts.shape)
+            wts = jnp.where(keep, wts / (1.0 - self.dropout), 0.0)
+            rng2 = self.make_rng("dropout")
+            keep_s = jax.random.bernoulli(rng2, 1.0 - self.dropout, w_self.shape)
+            w_self = jnp.where(keep_s, w_self / (1.0 - self.dropout), 0.0)
+
+        out = xh * w_self[..., None]
+        for ki in range(k):
+            dr, dc = self._offsets[ki]
+            out = out + shift(xh, dr, dc) * wts[ki][..., None]
+
+        out = (out.reshape(hgt, wid, hds * c) if self.concat
+               else out.mean(2))
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros,
+                           (hds * c if self.concat else c,))
+            out = out + b
+        return jnp.where(valid[..., None], out, 0.0)
+
+    @property
+    def _offsets(self):
+        # order matches ops.edges.OFFSETS_* so COO parity holds exactly
+        return offsets_for_connectivity(self.connectivity)
+
+
+def params_from_coo(coo_params: Dict, num_layers: int) -> Dict:
+    """Translate BathymetricGNN (COO) params to GridBathymetricGNN layout.
+
+    Layer math and parameter shapes are identical; only the module nesting
+    differs (COO nests convs/norms under GNNBackbone_0)."""
+    out = {}
+    for k, v in coo_params.items():
+        if k != "GNNBackbone_0":
+            out[k] = v
+    bb = coo_params.get("GNNBackbone_0", {})
+    for i in range(num_layers):
+        if f"GATConv_{i}" in bb:
+            out[f"GridGATConv_{i}"] = bb[f"GATConv_{i}"]
+        if f"MaskedBatchNorm_{i}" in bb:
+            out[f"MaskedBatchNorm_{i}"] = bb[f"MaskedBatchNorm_{i}"]
+    return out
+
+
+class GridBathymetricGNN(nn.Module):
+    """Flagship dense-grid multi-task model — same heads/params layout as
+    models.gnn.BathymetricGNN, operating on [H, W] tiles directly."""
+
+    hidden_channels: int = 64
+    num_layers: int = 4
+    heads: int = 4
+    num_classes: int = 3
+    dropout: float = 0.1
+    predict_correction: bool = True
+    feature_extractor_layers: int = 2
+    edge_dim: Optional[int] = 3
+    connectivity: int = 8
+
+    @nn.compact
+    def __call__(
+        self,
+        features: jax.Array,    # [H, W, F] node features (dense)
+        valid: jax.Array,       # [H, W] bool
+        nbr_mask: jax.Array,    # [K, H, W]
+        edge_attr: jax.Array,   # [K, H, W, 3]
+        deterministic: bool = True,
+        use_running_average: Optional[bool] = None,
+    ) -> Dict[str, jax.Array]:
+        if use_running_average is None:
+            use_running_average = deterministic
+        hgt, wid, _ = features.shape
+        flat_valid = valid.reshape(-1)
+
+        x = MLPFeatureExtractor(
+            self.hidden_channels, self.feature_extractor_layers, self.dropout
+        )(features, deterministic)
+
+        for i in range(self.num_layers):
+            last = i == self.num_layers - 1
+            x = GridGATConv(
+                out_channels=self.hidden_channels,
+                heads=self.heads if not last else 1,
+                concat=not last,
+                dropout=self.dropout,
+                edge_dim=self.edge_dim,
+                connectivity=self.connectivity,
+            )(x, valid, nbr_mask, edge_attr, deterministic)
+            width = self.hidden_channels * (self.heads if not last else 1)
+            xf = MaskedBatchNorm(width)(
+                x.reshape(-1, width), flat_valid, use_running_average
+            )
+            x = xf.reshape(hgt, wid, width)
+            if not last:
+                x = nn.relu(x)
+                x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+
+        logits = ClassificationHead(self.hidden_channels, self.num_classes,
+                                    self.dropout)(x, deterministic)
+        out = {
+            "class_logits": logits,
+            "class_probs": nn.softmax(logits, -1),
+            "predicted_class": jnp.argmax(logits, -1),
+            "confidence": ConfidenceHead(self.hidden_channels, self.dropout)(
+                x, deterministic
+            ),
+        }
+        if self.predict_correction:
+            out["correction"] = CorrectionHead(self.hidden_channels,
+                                               self.dropout)(x, deterministic)
+        return out

@@ -1,0 +1,148 @@
+"""Data-parallel training over the mesh ``data`` axis (shard_map + psum).
+
+Stage A of the distribution design (SURVEY §7.1 step 8): each device owns
+B/n_dev tile graphs of the stacked batch, merges them locally (no cross-
+device edges by construction), computes loss/grads locally, and pmeans
+grads + metrics over ICI. BatchNorm batch statistics are also pmean'd so
+every replica applies identical parameter updates.
+
+The reference has no distributed training at all (SURVEY §2.2); this module
+is new TPU-native capability, not a port.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.graph import PaddedGraph, merge_stacked
+from ..training.trainer import TrainState, make_loss_fn
+
+
+def _spec_like(tree, spec):
+    return jax.tree.map(lambda _: spec, tree)
+
+
+def make_dp_train_step(
+    model,
+    optimizer,
+    training_cfg,
+    class_weights,
+    huber_delta,
+    mesh: Mesh,
+) -> Callable:
+    """Build a jitted data-parallel train step.
+
+    Inputs: state (replicated), graph/targets stacked [B, ...] with B
+    divisible by the data-axis size, dropout rng, lr scalar.
+    """
+    loss_fn = make_loss_fn(model, training_cfg, class_weights, huber_delta,
+                           train=True)
+    data_axis = "data"
+
+    def shard_fn(params, batch_stats, opt_state, graph, targets, rng, lr):
+        # per-shard rng so dropout differs across devices
+        idx = jax.lax.axis_index(data_axis)
+        rng = jax.random.fold_in(rng, idx)
+        merged = merge_stacked(graph)
+        flat_targets = jax.tree.map(
+            lambda t: t.reshape((-1,) + t.shape[2:]), targets
+        )
+        (total, (losses, acc, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch_stats, merged, flat_targets, rng)
+
+        grads = jax.lax.pmean(grads, data_axis)
+        losses = jax.lax.pmean(losses, data_axis)
+        acc = jax.lax.pmean(acc, data_axis)
+        # keep replicas consistent: average batch-stat updates too
+        new_bs = jax.lax.pmean(new_bs, data_axis)
+
+        inj = opt_state[1]
+        inj = inj._replace(hyperparams={**inj.hyperparams, "learning_rate": lr})
+        opt_state = (opt_state[0], inj)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_bs, new_opt, losses, acc
+
+    graph_specs = PaddedGraph(
+        x=P(data_axis), edge_src=P(data_axis), edge_dst=P(data_axis),
+        edge_attr=P(data_axis), node_mask=P(data_axis), edge_mask=P(data_axis),
+        pos=P(data_axis), local_std=P(data_axis), graph_id=P(data_axis),
+    )
+
+    def step(state: TrainState, graph, targets, rng, lr):
+        target_specs = jax.tree.map(lambda _: P(data_axis), targets)
+        sharded = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(
+                _spec_like(state.params, P()),
+                _spec_like(state.batch_stats, P()),
+                jax.tree.map(lambda _: P(), state.opt_state),
+                graph_specs,
+                target_specs,
+                P(),
+                P(),
+            ),
+            out_specs=(
+                _spec_like(state.params, P()),
+                _spec_like(state.batch_stats, P()),
+                jax.tree.map(lambda _: P(), state.opt_state),
+                P(),
+                P(),
+            ),
+            check_vma=False,
+        )
+        new_params, new_bs, new_opt, losses, acc = sharded(
+            state.params, state.batch_stats, state.opt_state, graph, targets,
+            rng, lr,
+        )
+        return (
+            TrainState(new_params, new_bs, new_opt, state.step + 1),
+            losses,
+            acc,
+        )
+
+    return jax.jit(step)
+
+
+def make_dp_eval_step(model, training_cfg, class_weights, huber_delta,
+                      mesh: Mesh) -> Callable:
+    loss_fn = make_loss_fn(model, training_cfg, class_weights, huber_delta,
+                           train=False)
+    data_axis = "data"
+
+    def shard_fn(params, batch_stats, graph, targets):
+        merged = merge_stacked(graph)
+        flat_targets = jax.tree.map(
+            lambda t: t.reshape((-1,) + t.shape[2:]), targets
+        )
+        _, (losses, acc, _) = loss_fn(params, batch_stats, merged,
+                                      flat_targets, jax.random.PRNGKey(0))
+        return jax.lax.pmean(losses, data_axis), jax.lax.pmean(acc, data_axis)
+
+    graph_specs = PaddedGraph(
+        x=P(data_axis), edge_src=P(data_axis), edge_dst=P(data_axis),
+        edge_attr=P(data_axis), node_mask=P(data_axis), edge_mask=P(data_axis),
+        pos=P(data_axis), local_std=P(data_axis), graph_id=P(data_axis),
+    )
+
+    def step(state: TrainState, graph, targets):
+        target_specs = jax.tree.map(lambda _: P(data_axis), targets)
+        return jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(_spec_like(state.params, P()),
+                      _spec_like(state.batch_stats, P()),
+                      graph_specs, target_specs),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(state.params, state.batch_stats, graph, targets)
+
+    return jax.jit(step)

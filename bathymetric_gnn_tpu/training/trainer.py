@@ -79,6 +79,43 @@ class TrainState:
     step: jax.Array
 
 
+def make_loss_fn(model, training_cfg, class_weights, huber_delta, train: bool):
+    """Shared loss closure used by the single-chip trainer and the
+    multi-chip shard_map step (parallel/data_parallel.py)."""
+    tc = training_cfg
+
+    def loss_fn(params, batch_stats, graph, targets, dropout_rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            out, updates = model.apply(
+                variables, graph, deterministic=False,
+                rngs={"dropout": dropout_rng}, mutable=["batch_stats"],
+            )
+            new_bs = updates["batch_stats"]
+        else:
+            out = model.apply(variables, graph, deterministic=True)
+            new_bs = batch_stats
+        node_mask = graph.node_mask
+        losses = L.combined_loss(
+            out, targets, node_mask,
+            class_weights=class_weights,
+            classification_weight=tc.classification_weight,
+            correction_weight=tc.correction_weight,
+            confidence_weight=tc.confidence_weight,
+            feature_preservation_weight=tc.feature_preservation_weight,
+            shoal_safety_weight=tc.shoal_safety_weight,
+            label_smoothing=tc.label_smoothing,
+            correction_delta=huber_delta,
+        )
+        m = node_mask.astype(jnp.float32)
+        acc = jnp.sum(
+            (out["predicted_class"] == targets["labels"]).astype(jnp.float32) * m
+        ) / jnp.maximum(jnp.sum(m), 1.0)
+        return losses["total"], (losses, acc, new_bs)
+
+    return loss_fn
+
+
 class Trainer:
     """Full training loop over graph-batch datasets."""
 
@@ -147,37 +184,8 @@ class Trainer:
 
     def _make_step(self, train: bool):
         tc = self.config.training
-        model = self.model
-        cw = None if self.class_weights is None else self.class_weights
-        delta = self.huber_delta
-
-        def loss_fn(params, batch_stats, graph, targets, dropout_rng):
-            variables = {"params": params, "batch_stats": batch_stats}
-            if train:
-                out, updates = model.apply(
-                    variables, graph, deterministic=False,
-                    rngs={"dropout": dropout_rng}, mutable=["batch_stats"],
-                )
-            else:
-                out = model.apply(variables, graph, deterministic=True)
-                updates = {"batch_stats": batch_stats}
-            node_mask = graph.node_mask
-            losses = L.combined_loss(
-                out, targets, node_mask,
-                class_weights=cw,
-                classification_weight=tc.classification_weight,
-                correction_weight=tc.correction_weight,
-                confidence_weight=tc.confidence_weight,
-                feature_preservation_weight=tc.feature_preservation_weight,
-                shoal_safety_weight=tc.shoal_safety_weight,
-                label_smoothing=tc.label_smoothing,
-                correction_delta=delta,
-            )
-            m = node_mask.astype(jnp.float32)
-            acc = jnp.sum(
-                (out["predicted_class"] == targets["labels"]).astype(jnp.float32) * m
-            ) / jnp.maximum(jnp.sum(m), 1.0)
-            return losses["total"], (losses, acc, updates["batch_stats"])
+        loss_fn = make_loss_fn(self.model, tc, self.class_weights,
+                               self.huber_delta, train)
 
         if train:
             @jax.jit

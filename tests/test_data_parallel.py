@@ -1,0 +1,100 @@
+"""Data-parallel training on an 8-virtual-device CPU mesh.
+
+Validates the shard_map DP step runs, keeps replicas consistent, and
+matches the single-device step numerically on balanced batches.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from bathymetric_gnn_tpu.config.config import (BucketConfig, Config,
+                                               GraphConfig, ModelConfig,
+                                               TrainingConfig)
+from bathymetric_gnn_tpu.models.gnn import make_model
+from bathymetric_gnn_tpu.parallel.data_parallel import (make_dp_eval_step,
+                                                        make_dp_train_step)
+from bathymetric_gnn_tpu.parallel.mesh import make_mesh, shard_batch_pytree
+from bathymetric_gnn_tpu.training.datasets import SyntheticTileDataset, collate_samples
+from bathymetric_gnn_tpu.training.trainer import Trainer, TrainState
+
+from conftest import make_ramp_surface
+
+
+def build_batch(batch=8, tile=48):
+    cfg = Config(
+        model=ModelConfig(hidden_channels=8, num_layers=2, heads=2),
+        bucket=BucketConfig(node_buckets=(4096,)),
+        training=TrainingConfig(batch_size=batch, seed=0),
+    )
+    grids = [make_ramp_surface(tile * 2, tile * 2, seed=i) for i in range(2)]
+    ds = SyntheticTileDataset(grids, cfg, tile_size=tile, overlap=8,
+                              min_valid_ratio=0.0, seed=0)
+    samples = [ds[i % len(ds)] for i in range(batch)]
+    graph, targets = collate_samples(samples)
+    return cfg, ds, graph, targets
+
+
+class TestDataParallel:
+    def test_dp_step_runs_and_matches_single_device(self):
+        cfg, ds, graph, targets = build_batch()
+        model = make_model(cfg.model, in_channels=7, edge_dim=3)
+        trainer = Trainer(cfg, model, ds, output_dir="/tmp/dp_test_ckpt")
+        state = trainer.init_state(ds[0].graph)
+
+        mesh = make_mesh(8, graph_axis=1)
+        dp_step = make_dp_train_step(
+            model, trainer.optimizer, cfg.training, trainer.class_weights,
+            trainer.huber_delta, mesh,
+        )
+        rng = jax.random.PRNGKey(0)
+        lr = jnp.float32(1e-3)
+
+        graph_sh = shard_batch_pytree(graph, mesh)
+        targets_sh = shard_batch_pytree(targets, mesh)
+        new_state, losses, acc = dp_step(state, graph_sh, targets_sh, rng, lr)
+        assert np.isfinite(float(losses["total"]))
+        assert 0 <= float(acc) <= 1
+
+        # single-device reference step on the same batch (dropout differs
+        # per shard, so compare with dropout disabled via eval-loss path):
+        ev = make_dp_eval_step(model, cfg.training, trainer.class_weights,
+                               trainer.huber_delta, mesh)
+        dp_losses, dp_acc = ev(state, graph_sh, targets_sh)
+
+        losses1, acc1 = trainer._eval_step(state, graph, targets)
+        # Components normalized by fixed node counts match exactly
+        # (mean-of-means == global mean on balanced full-valid tiles).
+        # Components normalized by data-dependent counts (shoal FP count,
+        # noise-node count, class-weight sums) legitimately differ between
+        # per-shard and global normalization — standard DDP semantics.
+        np.testing.assert_allclose(float(dp_losses["confidence"]),
+                                   float(losses1["confidence"]), rtol=2e-4)
+        np.testing.assert_allclose(
+            float(dp_losses["feature_preservation"]),
+            float(losses1["feature_preservation"]), rtol=2e-4,
+        )
+        np.testing.assert_allclose(float(dp_acc), float(acc1), rtol=1e-5)
+        # total stays in the same ballpark
+        np.testing.assert_allclose(float(dp_losses["total"]),
+                                   float(losses1["total"]), rtol=0.05)
+
+    def test_dp_params_updated(self):
+        cfg, ds, graph, targets = build_batch()
+        model = make_model(cfg.model, in_channels=7, edge_dim=3)
+        trainer = Trainer(cfg, model, ds, output_dir="/tmp/dp_test_ckpt2")
+        state = trainer.init_state(ds[0].graph)
+        mesh = make_mesh(8)
+        dp_step = make_dp_train_step(
+            model, trainer.optimizer, cfg.training, trainer.class_weights,
+            trainer.huber_delta, mesh,
+        )
+        new_state, *_ = dp_step(state, shard_batch_pytree(graph, mesh),
+                                shard_batch_pytree(targets, mesh),
+                                jax.random.PRNGKey(1), jnp.float32(1e-3))
+        diffs = jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            state.params, new_state.params,
+        )
+        assert max(jax.tree.leaves(diffs)) > 0
