@@ -1,0 +1,236 @@
+"""Tiled end-to-end inference pipeline (flagship dense-grid path).
+
+Re-design of the reference's BathymetricPipeline
+(reference: models/pipeline.py:36-383): tiles run through the dense
+shifted-window GAT entirely on device (featurization included), corrections
+are denormalized by per-cell local_std, tiles are Hann-stitched with
+confidence-argmax classification, unprocessed valid cells are back-filled
+as seafloor/conf-0, and corrections are applied with the subtract
+convention to confident noise (SURVEY Q1/Q6/Q7).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.config import Config
+from ..config.constants import (CLASS_NOISE, CLASS_SEAFLOOR,
+                                CORRECTION_NORM_FLOOR)
+from ..data.graph_build import build_grid_inputs
+from ..data.tiling import TileManager, TileMerger
+from ..io.loaders import BathymetricGrid, BathymetricLoader, BathymetricWriter
+from ..models.grid_gat import GridBathymetricGNN, params_from_coo
+
+logger = logging.getLogger(__name__)
+
+
+def load_checkpoint_variables(checkpoint_dir) -> Tuple[Dict, Dict, Config]:
+    """Load (params, batch_stats, config) from a Trainer checkpoint
+    (reference analogue: models/pipeline.py:92-132). in_channels/edge_dim
+    are recovered from parameter shapes (SURVEY Q2)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(checkpoint_dir).absolute()
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path)
+    cfg_path = path.parent / "config.yaml"
+    cfg = Config.load(cfg_path) if cfg_path.exists() else Config()
+    return restored["params"], restored.get("batch_stats", {}), cfg
+
+
+def infer_in_channels(params: Dict) -> int:
+    """First extractor Linear input width (reference probes the first
+    torch Linear the same way — scripts/inference_native.py:147)."""
+    k = params["MLPFeatureExtractor_0"]["TorchLinear_0"]["kernel"]
+    return int(k.shape[0])
+
+
+class BathymetricPipeline:
+    """Load model -> tile -> dense-grid forward -> stitch -> write."""
+
+    def __init__(self, config: Optional[Config] = None,
+                 vr_bag_mode: str = "resampled"):
+        self.config = config or Config()
+        self.loader = BathymetricLoader(vr_bag_mode)
+        self.writer = BathymetricWriter()
+        t = self.config.tile
+        self.tm = TileManager(t.tile_size, t.overlap, t.min_valid_ratio)
+        self.params: Optional[Dict] = None
+        self.batch_stats: Optional[Dict] = None
+        self.model: Optional[GridBathymetricGNN] = None
+        self._forward = None
+        self.in_channels = 7
+
+    # -- model -------------------------------------------------------------
+
+    def load_model(self, checkpoint_dir):
+        coo_params, coo_bs, ckpt_cfg = load_checkpoint_variables(checkpoint_dir)
+        self.config.model = ckpt_cfg.model
+        n_layers = ckpt_cfg.model.num_layers
+        self.params = params_from_coo(coo_params, n_layers)
+        self.batch_stats = params_from_coo(coo_bs, n_layers)
+        self.in_channels = infer_in_channels(self.params)
+        self._build_model()
+
+    def use_variables(self, params: Dict, batch_stats: Dict,
+                      from_coo: bool = True):
+        """Wire in-memory training variables (for tests / same-process use)."""
+        n_layers = self.config.model.num_layers
+        if from_coo:
+            params = params_from_coo(params, n_layers)
+            batch_stats = params_from_coo(batch_stats, n_layers)
+        self.params = params
+        self.batch_stats = batch_stats
+        self.in_channels = infer_in_channels(params)
+        self._build_model()
+
+    def _build_model(self):
+        mc = self.config.model
+        self.model = GridBathymetricGNN(
+            hidden_channels=mc.hidden_channels, num_layers=mc.num_layers,
+            heads=mc.heads, num_classes=mc.num_classes,
+            dropout=0.0,  # inference (reference: models/pipeline.py:119)
+            predict_correction=mc.predict_correction,
+            feature_extractor_layers=mc.feature_extractor_layers,
+            edge_dim=3, connectivity=self.config.graph.connectivity,
+        )
+        model = self.model
+        conn = self.config.graph.connectivity
+        win = self.config.graph.local_stats_window
+
+        @partial(jax.jit, static_argnames=("resolution", "with_unc"))
+        def forward(variables, depth, valid, uncertainty, *, resolution,
+                    with_unc):
+            feats, v, nbr, eattr, local_std = build_grid_inputs(
+                depth, valid, uncertainty if with_unc else None,
+                resolution=resolution, connectivity=conn, stats_window=win,
+                with_uncertainty=with_unc,
+            )
+            out = model.apply(variables, feats, v, nbr, eattr)
+            # denormalize correction by local_std
+            # (reference: models/pipeline.py:290-307)
+            corr = out.get("correction")
+            if corr is not None:
+                corr = corr * jnp.maximum(local_std, CORRECTION_NORM_FLOOR)
+            return {
+                "classification": out["predicted_class"].astype(jnp.float32),
+                "confidence": out["confidence"],
+                "correction": corr if corr is not None else
+                jnp.zeros_like(out["confidence"]),
+            }
+
+        self._forward = forward
+
+    # -- processing --------------------------------------------------------
+
+    def process(self, input_path, output_path,
+                export_extras: bool = True) -> Dict:
+        """Full-survey tiled inference (reference: models/pipeline.py:134-241)."""
+        if self._forward is None:
+            raise RuntimeError("load_model() first")
+        t0 = time.time()
+        grid = self.loader.load(input_path)
+        valid = grid.valid_mask
+        use_unc = (grid.uncertainty is not None
+                   and self.in_channels >= 8)
+
+        merger = TileMerger(self.tm)
+        merger.initialize(grid.depth.shape,
+                          ["classification", "confidence", "correction"])
+        variables = {"params": self.params, "batch_stats": self.batch_stats}
+        n_tiles = 0
+        for tile in self.tm.iterate_tiles(grid.depth, grid.uncertainty, valid):
+            res = self._forward(
+                variables,
+                jnp.asarray(np.nan_to_num(tile.data), jnp.float32),
+                jnp.asarray(tile.valid_mask),
+                jnp.asarray(np.nan_to_num(tile.uncertainty), jnp.float32)
+                if use_unc and tile.uncertainty is not None else None,
+                resolution=(float(grid.resolution[0]),
+                            float(grid.resolution[1])),
+                with_unc=use_unc,
+            )
+            res_np = {k: np.asarray(v) for k, v in res.items()}
+            merger.add_tile(tile.spec, res_np, tile_valid=tile.valid_mask)
+            n_tiles += 1
+            if n_tiles % 10 == 0:
+                logger.info("processed %d tiles", n_tiles)
+
+        final = merger.finalize()
+        # back-fill unprocessed valid cells as seafloor / confidence 0
+        # (reference: models/pipeline.py:198-207)
+        unproc = valid & ~np.isfinite(final["classification"])
+        final["classification"][unproc] = CLASS_SEAFLOOR
+        final["confidence"][unproc] = 0.0
+        final["correction"][unproc] = 0.0
+        for ch in ("confidence", "correction"):
+            final[ch] = np.nan_to_num(final[ch], nan=0.0)
+
+        cleaned, n_corrected = self._apply_corrections(grid, final, valid)
+        out_grid = BathymetricGrid(
+            depth=cleaned,
+            uncertainty=self._scale_uncertainty(grid, final, valid),
+            geotransform=grid.geotransform, crs=grid.crs,
+            resolution=grid.resolution, nodata=grid.nodata,
+        )
+        extra = None
+        if export_extras:
+            extra = {
+                "classification": final["classification"],
+                "confidence": final["confidence"],
+                "correction": final["correction"],
+                "valid_mask": valid.astype(np.float32),
+            }
+        src_bag = (grid.source_path
+                   if str(output_path).lower().endswith(".bag") else None)
+        self.writer.save(out_grid, output_path, extra_bands=extra,
+                         source_bag=src_bag)
+
+        stats = self._summary(grid, final, valid, n_tiles, n_corrected,
+                              time.time() - t0)
+        logger.info("inference summary: %s", stats)
+        return stats
+
+    def _apply_corrections(self, grid, final, valid):
+        """cleaned = original - correction on confident noise
+        (reference: models/pipeline.py:316-349; subtract — SURVEY Q1)."""
+        thr = self.config.inference.auto_correct_threshold
+        cleaned = grid.depth.astype(np.float32).copy()
+        m = (valid & (final["classification"] == CLASS_NOISE)
+             & (final["confidence"] > thr))
+        cleaned[m] -= final["correction"][m]
+        return cleaned, int(m.sum())
+
+    def _scale_uncertainty(self, grid, final, valid):
+        """uncertainty *= (2 - confidence) on corrected cells
+        (reference: scripts/inference_native.py:495-496)."""
+        if grid.uncertainty is None:
+            return None
+        thr = self.config.inference.auto_correct_threshold
+        unc = grid.uncertainty.astype(np.float32).copy()
+        m = (valid & (final["classification"] == CLASS_NOISE)
+             & (final["confidence"] > thr))
+        unc[m] *= (2.0 - final["confidence"][m])
+        return unc
+
+    def _summary(self, grid, final, valid, n_tiles, n_corrected, dt):
+        nv = max(int(valid.sum()), 1)
+        cls = final["classification"][valid]
+        return {
+            "tiles_processed": n_tiles,
+            "valid_cells": nv,
+            "seafloor_pct": float((cls == 0).mean() * 100),
+            "feature_pct": float((cls == 1).mean() * 100),
+            "noise_pct": float((cls == 2).mean() * 100),
+            "mean_confidence": float(final["confidence"][valid].mean()),
+            "cells_corrected": n_corrected,
+            "elapsed_s": round(dt, 2),
+        }

@@ -1,0 +1,165 @@
+"""Inference pipeline tests: tiled processing end-to-end, native VR
+batching, correction conventions."""
+
+import jax
+import numpy as np
+import pytest
+
+from bathymetric_gnn_tpu.config.config import (BucketConfig, Config,
+                                               InferenceConfig, ModelConfig,
+                                               TileConfig)
+from bathymetric_gnn_tpu.config.constants import BAG_NODATA
+from bathymetric_gnn_tpu.data.graph_build import GraphBuilder
+from bathymetric_gnn_tpu.inference.native_vr import NativeVRProcessor
+from bathymetric_gnn_tpu.inference.pipeline import BathymetricPipeline
+from bathymetric_gnn_tpu.io.bag import VRBagHandler, write_vr_bag
+from bathymetric_gnn_tpu.io.geotiff import read_geotiff, write_geotiff
+from bathymetric_gnn_tpu.models.gnn import make_model
+
+from conftest import make_ramp_surface
+
+
+def small_cfg():
+    return Config(
+        model=ModelConfig(hidden_channels=8, num_layers=2, heads=2),
+        tile=TileConfig(tile_size=64, overlap=16, min_valid_ratio=0.05),
+        bucket=BucketConfig(node_buckets=(4096, 16384)),
+    )
+
+
+@pytest.fixture(scope="module")
+def trained_vars():
+    cfg = small_cfg()
+    model = make_model(cfg.model, in_channels=7, edge_dim=3)
+    gb = GraphBuilder(cfg.graph, cfg.bucket)
+    bg = gb.build_graph(make_ramp_surface(32, 32), np.ones((32, 32), bool))
+    variables = model.init(jax.random.PRNGKey(0), bg.graph)
+    return cfg, model, variables
+
+
+class TestPipeline:
+    def test_process_geotiff_survey(self, trained_vars, tmp_path):
+        cfg, model, variables = trained_vars
+        pipe = BathymetricPipeline(cfg)
+        pipe.use_variables(variables["params"], variables["batch_stats"])
+
+        depth = make_ramp_surface(150, 170)
+        valid = np.ones(depth.shape, bool)
+        valid[10:20, 30:60] = False
+        depth[~valid] = np.nan
+        src = tmp_path / "in.tif"
+        write_geotiff(src, depth[None], pixel_scale=(1.0, 1.0),
+                      origin=(0.0, 0.0), nodata=float("nan"))
+        out = tmp_path / "out.tif"
+        stats = pipe.process(src, out)
+
+        assert stats["tiles_processed"] > 1
+        assert 0 <= stats["mean_confidence"] <= 1
+        bands, info = read_geotiff(out)
+        # depth + class/conf/corr/valid extras
+        assert bands.shape[0] == 5
+        cleaned = bands[0]
+        cls = bands[1]
+        # every valid cell classified (incl. backfill)
+        assert np.isfinite(cls[valid]).all()
+        assert set(np.unique(cls[valid])) <= {0.0, 1.0, 2.0}
+        assert np.isfinite(cleaned[valid]).all()
+
+    def test_corrections_subtract(self, trained_vars):
+        cfg, model, variables = trained_vars
+        pipe = BathymetricPipeline(cfg)
+        pipe.use_variables(variables["params"], variables["batch_stats"])
+        from bathymetric_gnn_tpu.io.loaders import BathymetricGrid
+
+        depth = make_ramp_surface(32, 32)
+        grid = BathymetricGrid(depth=depth)
+        final = {
+            "classification": np.full(depth.shape, 2.0, np.float32),
+            "confidence": np.full(depth.shape, 0.99, np.float32),
+            "correction": np.full(depth.shape, 1.5, np.float32),
+        }
+        cleaned, n = pipe._apply_corrections(grid, final,
+                                             np.ones(depth.shape, bool))
+        assert n == depth.size
+        np.testing.assert_allclose(cleaned, depth - 1.5, rtol=1e-6)
+
+    def test_low_confidence_not_corrected(self, trained_vars):
+        cfg, model, variables = trained_vars
+        pipe = BathymetricPipeline(cfg)
+        pipe.use_variables(variables["params"], variables["batch_stats"])
+        from bathymetric_gnn_tpu.io.loaders import BathymetricGrid
+
+        depth = make_ramp_surface(16, 16)
+        grid = BathymetricGrid(depth=depth)
+        final = {
+            "classification": np.full(depth.shape, 2.0, np.float32),
+            "confidence": np.full(depth.shape, 0.5, np.float32),
+            "correction": np.full(depth.shape, 1.5, np.float32),
+        }
+        cleaned, n = pipe._apply_corrections(grid, final,
+                                             np.ones(depth.shape, bool))
+        assert n == 0
+        np.testing.assert_array_equal(cleaned, depth)
+
+
+class TestNativeVR:
+    def test_batched_equals_individual(self, trained_vars):
+        cfg, model, variables = trained_vars
+        proc = NativeVRProcessor(model, variables, cfg, node_budget=10_000)
+        rg = np.random.default_rng(0)
+        grids = []
+        for dy, dx in [(5, 5), (9, 7), (16, 16), (3, 3)]:
+            d = (20 + rg.normal(0, 1, (dy, dx))).astype(np.float32)
+            d[0, 0] = np.nan
+            grids.append(d)
+
+        # batched
+        for d in grids:
+            proc.add_to_batch(d, np.zeros_like(d), (1.0, 1.0))
+        batched = proc.flush_batch()
+        # individual
+        singles = [proc.process_grid(d, np.zeros_like(d), (1.0, 1.0))
+                   for d in grids]
+        for b, s, d in zip(batched, singles, grids):
+            valid = np.isfinite(d)
+            np.testing.assert_array_equal(b["classification"][valid],
+                                          s["classification"][valid])
+            np.testing.assert_allclose(b["confidence"][valid],
+                                       s["confidence"][valid],
+                                       rtol=1e-3, atol=1e-4)
+            np.testing.assert_allclose(b["correction"][valid],
+                                       s["correction"][valid],
+                                       rtol=2e-3, atol=1e-3)
+            assert (b["classification"][~valid] == -1).all()
+
+    def test_node_budget_trigger(self, trained_vars):
+        cfg, model, variables = trained_vars
+        proc = NativeVRProcessor(model, variables, cfg, node_budget=100)
+        d = make_ramp_surface(12, 12)
+        proc.add_to_batch(d, np.zeros_like(d), (1.0, 1.0))
+        assert proc.batch_ready()
+
+    def test_end_to_end_vr_bag(self, trained_vars, tmp_path):
+        from bathymetric_gnn_tpu.io.bag import process_bag_native
+
+        cfg, model, variables = trained_vars
+        proc = NativeVRProcessor(model, variables, cfg)
+        rg = np.random.default_rng(1)
+        refinements = []
+        for i, (r, c) in enumerate([(0, 0), (0, 1), (1, 1)]):
+            dy = dx = [4, 8, 16][i]
+            d = (15 + rg.normal(0, 0.5, (dy, dx))).astype(np.float32)
+            refinements.append((r, c, d, None, 32.0 / dx))
+        src = tmp_path / "v.bag"
+        write_vr_bag(src, (2, 2), 32.0, refinements, origin=(0.0, 0.0))
+
+        def process_func(depth, unc, res):
+            return proc.process_grid(depth, unc, res)
+
+        out = tmp_path / "cleaned.bag"
+        stats = process_bag_native(src, out, process_func,
+                                   sidecar_path=tmp_path / "sc.tif")
+        assert stats["grids"] == 3
+        assert (tmp_path / "sc.tif").exists()
+        h = VRBagHandler(out)
+        assert len(list(h.iterate_refinements())) == 3
