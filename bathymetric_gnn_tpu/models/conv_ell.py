@@ -1,0 +1,148 @@
+"""Message-passing layers on EllGraph (gather-only sparse path).
+
+Same math and parameter names as models/conv (PyG-exact) so one checkpoint
+drives COO, ELL, and dense-grid paths. ELL is the production sparse layout
+on TPU (see ops/ell.py); COO remains as the reference implementation and
+for degree-unbounded graphs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.ell import EllGraph, ell_gather, ell_masked_softmax
+from .conv import _glorot
+
+
+class GATConvELL(nn.Module):
+    """PyG-exact GAT on the ELL layout (cf. models/conv.GATConv)."""
+
+    out_channels: int
+    heads: int = 4
+    concat: bool = True
+    negative_slope: float = 0.2
+    dropout: float = 0.0
+    edge_dim: Optional[int] = None
+    add_self_loops: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, g: EllGraph, x: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        h, c = self.heads, self.out_channels
+        n, k = g.nbr_src.shape
+
+        w = self.param("lin_src", _glorot, (x.shape[-1], h * c))
+        xh = (x @ w).reshape(n, h, c)
+
+        att_src = self.param("att_src", _glorot, (1, h, c))
+        att_dst = self.param("att_dst", _glorot, (1, h, c))
+        a_src = jnp.sum(xh * att_src, -1)  # [N, H]
+        a_dst = jnp.sum(xh * att_dst, -1)
+
+        logits = ell_gather(a_src, g.nbr_src) + a_dst[:, None, :]  # [N,K,H]
+
+        self_logit = None
+        if self.edge_dim is not None and g.edge_attr.shape[-1] > 0:
+            we = self.param("lin_edge", _glorot, (self.edge_dim, h * c))
+            att_edge = self.param("att_edge", _glorot, (1, h, c))
+            eh = (g.edge_attr @ we).reshape(n, k, h, c)
+            logits = logits + jnp.sum(eh * att_edge[None], -1)
+            if self.add_self_loops:
+                cnt = jnp.maximum(
+                    jnp.sum(g.nbr_mask.astype(jnp.float32), 1), 1.0)
+                mean_attr = jnp.sum(
+                    jnp.where(g.nbr_mask[..., None], g.edge_attr, 0.0), 1
+                ) / cnt[:, None]
+                sh = (mean_attr @ we).reshape(n, h, c)
+                self_logit = a_src + a_dst + jnp.sum(sh * att_edge, -1)
+        elif self.add_self_loops:
+            self_logit = a_src + a_dst
+
+        logits = nn.leaky_relu(logits, self.negative_slope)
+        if self_logit is not None:
+            self_logit = nn.leaky_relu(self_logit, self.negative_slope)
+
+        wts, w_self = ell_masked_softmax(logits, g.nbr_mask, self_logit)
+        if self.dropout > 0 and not deterministic:
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(rng, 1.0 - self.dropout, wts.shape)
+            wts = jnp.where(keep, wts / (1.0 - self.dropout), 0.0)
+            if w_self is not None:
+                rng2 = self.make_rng("dropout")
+                ks = jax.random.bernoulli(rng2, 1.0 - self.dropout,
+                                          w_self.shape)
+                w_self = jnp.where(ks, w_self / (1.0 - self.dropout), 0.0)
+
+        nbr_x = ell_gather(xh, g.nbr_src)            # [N, K, H, C]
+        out = jnp.sum(nbr_x * wts[..., None], axis=1)
+        if w_self is not None:
+            out = out + xh * w_self[..., None]
+
+        out = out.reshape(n, h * c) if self.concat else out.mean(1)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros,
+                           (h * c if self.concat else c,))
+            out = out + b
+        return jnp.where(g.node_mask[:, None], out, 0.0)
+
+
+class GCNConvELL(nn.Module):
+    out_channels: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, g: EllGraph, x: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        n = x.shape[0]
+        w = self.param("kernel", _glorot, (x.shape[-1], self.out_channels))
+        xw = x @ w
+        deg = jnp.sum(g.nbr_mask.astype(jnp.float32), 1) + g.node_mask
+        dinv = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
+        nbr = ell_gather(xw, g.nbr_src)
+        nbr_dinv = ell_gather(dinv, g.nbr_src)
+        msgs = nbr * (nbr_dinv * g.nbr_mask)[..., None] * dinv[:, None, None]
+        out = jnp.sum(msgs, 1) + xw * (dinv * dinv)[:, None]
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros,
+                                   (self.out_channels,))
+        return jnp.where(g.node_mask[:, None], out, 0.0)
+
+
+class SAGEConvELL(nn.Module):
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, g: EllGraph, x: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        nbr = ell_gather(x, g.nbr_src)
+        m = g.nbr_mask.astype(x.dtype)
+        agg = jnp.sum(nbr * m[..., None], 1) / jnp.maximum(
+            jnp.sum(m, 1), 1.0)[:, None]
+        wl = self.param("lin_l", _glorot, (x.shape[-1], self.out_channels))
+        bl = self.param("bias_l", nn.initializers.zeros, (self.out_channels,))
+        wr = self.param("lin_r", _glorot, (x.shape[-1], self.out_channels))
+        out = agg @ wl + bl + x @ wr
+        return jnp.where(g.node_mask[:, None], out, 0.0)
+
+
+class GINConvELL(nn.Module):
+    out_channels: int
+    eps: float = 0.0
+
+    @nn.compact
+    def __call__(self, g: EllGraph, x: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        from .layers import TorchLinear
+
+        nbr = ell_gather(x, g.nbr_src)
+        agg = jnp.sum(nbr * g.nbr_mask[..., None].astype(x.dtype), 1)
+        z = (1.0 + self.eps) * x + agg
+        z = TorchLinear(self.out_channels)(z)
+        z = nn.relu(z)
+        z = TorchLinear(self.out_channels)(z)
+        return jnp.where(g.node_mask[:, None], z, 0.0)
