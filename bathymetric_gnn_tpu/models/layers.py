@@ -27,6 +27,7 @@ class MaskedBatchNorm(nn.Module):
     features: int
     momentum: float = 0.1
     eps: float = 1e-5
+    axis_name: Optional[str] = None  # psum moments across this mesh axis
 
     @nn.compact
     def __call__(
@@ -48,9 +49,18 @@ class MaskedBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             m = mask.astype(x.dtype)[:, None]
-            n = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(x * m, axis=0) / n
-            var = jnp.sum(((x - mean) ** 2) * m, axis=0) / n
+            n = jnp.sum(m)
+            s1 = jnp.sum(x * m, axis=0)
+            if self.axis_name is not None:
+                # global moments across spatial shards (halo partition)
+                n = jax.lax.psum(n, self.axis_name)
+                s1 = jax.lax.psum(s1, self.axis_name)
+            n = jnp.maximum(n, 1.0)
+            mean = s1 / n
+            s2 = jnp.sum(((x - mean) ** 2) * m, axis=0)
+            if self.axis_name is not None:
+                s2 = jax.lax.psum(s2, self.axis_name)
+            var = s2 / n
             if not self.is_initializing():
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
                 ra_mean.value = (

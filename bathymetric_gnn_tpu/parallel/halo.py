@@ -1,0 +1,196 @@
+"""Spatial (halo-exchange) partitioning of the dense-grid model.
+
+Stage B of the distribution design (SURVEY §5 "long-context analogue",
+BASELINE north star): one survey grid too large for a chip is row-sharded
+across the mesh ``graph`` axis. Featurization exchanges a 3-row halo of
+raw depth/valid once; each GNN layer then refreshes a 1-row halo of
+activations via ``lax.ppermute`` over ICI before its local shifted-window
+aggregation — the ring-neighbor-exchange analogue of sequence parallelism.
+BatchNorm moments are psum'd so results are bitwise-equivalent in
+structure to the single-chip path (verified by parity tests on a virtual
+mesh).
+
+The reference has no distributed runtime at all (SURVEY §2.2); this module
+is new TPU-native capability.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.grid_gat import GridGATConv
+from ..models.layers import (ClassificationHead, ConfidenceHead,
+                             CorrectionHead, MaskedBatchNorm,
+                             MLPFeatureExtractor)
+
+GRAPH_AXIS = "graph"
+
+
+def exchange_halo_rows(x: jax.Array, halo: int,
+                       axis_name: str = GRAPH_AXIS) -> jax.Array:
+    """Extend local rows [L, ...] to [L+2*halo, ...] with neighbor rows.
+
+    Device d receives the last `halo` interior rows of d-1 above and the
+    first `halo` rows of d+1 below; missing neighbors contribute zeros
+    (masked out downstream by the validity halo).
+    """
+    n = jax.lax.axis_size(axis_name)
+    down_perm = [(i, i + 1) for i in range(n - 1)]  # send towards larger idx
+    up_perm = [(i + 1, i) for i in range(n - 1)]
+    from_above = jax.lax.ppermute(x[-halo:], axis_name, down_perm)
+    from_below = jax.lax.ppermute(x[:halo], axis_name, up_perm)
+    return jnp.concatenate([from_above, x, from_below], axis=0)
+
+
+class HaloGridGNN(nn.Module):
+    """Row-sharded flagship model. Parameter layout matches
+    GridBathymetricGNN exactly (same submodule names), so single-chip
+    checkpoints run multi-chip unchanged. Must be applied inside
+    shard_map over the ``graph`` mesh axis."""
+
+    hidden_channels: int = 64
+    num_layers: int = 4
+    heads: int = 4
+    num_classes: int = 3
+    dropout: float = 0.1
+    predict_correction: bool = True
+    feature_extractor_layers: int = 2
+    edge_dim: Optional[int] = 3
+    connectivity: int = 8
+    axis_name: str = GRAPH_AXIS
+
+    @nn.compact
+    def __call__(
+        self,
+        depth_local: jax.Array,   # [L, W] this shard's rows
+        valid_local: jax.Array,   # [L, W] bool
+        resolution: Tuple[float, float] = (1.0, 1.0),
+        deterministic: bool = True,
+        use_running_average: Optional[bool] = None,
+    ) -> Dict[str, jax.Array]:
+        from ..data.graph_build import build_grid_inputs
+
+        if use_running_average is None:
+            use_running_average = deterministic
+        ax = self.axis_name
+        halo_feat = 4  # 5x5 stats (2) + gradient/curvature (1) + one
+        # extra ring so halo-row features (consumed by layer 0) are exact
+        # even where boundary-filled cells feed gradients
+
+        # --- featurization on a halo-extended block, then trim -----------
+        d_ext = exchange_halo_rows(depth_local, halo_feat, ax)
+        v_ext = exchange_halo_rows(valid_local, halo_feat, ax)
+        # suppress wrap garbage at global borders
+        idx = jax.lax.axis_index(ax)
+        nsh = jax.lax.axis_size(ax)
+        row = jax.lax.broadcasted_iota(jnp.int32, v_ext.shape, 0)
+        top_ok = (idx > 0) | (row >= halo_feat)
+        bot_ok = (idx < nsh - 1) | (row < v_ext.shape[0] - halo_feat)
+        v_ext = v_ext & top_ok & bot_ok
+
+        feats_e, _, nbr_e, eattr_e, local_std_e = build_grid_inputs(
+            d_ext, v_ext, resolution=resolution,
+            connectivity=self.connectivity,
+        )
+        # NOTE: features within rows [halo_feat-1, L+halo_feat+1) are exact;
+        # we keep a 1-row activation halo for the first conv layer.
+        tr = halo_feat - 1  # trim to halo=1 extended block
+        feats = feats_e[tr:-tr]
+        valid1 = v_ext[tr:-tr]
+        nbr1 = nbr_e[:, tr:-tr]
+        eattr1 = eattr_e[:, tr:-tr]
+        local_std = local_std_e[halo_feat:-halo_feat]
+
+        x = MLPFeatureExtractor(
+            self.hidden_channels, self.feature_extractor_layers, self.dropout
+        )(feats, deterministic)  # [L+2, W, hid] (halo 1)
+
+        for i in range(self.num_layers):
+            last = i == self.num_layers - 1
+            if i > 0:
+                # refresh 1-row activation halo over ICI
+                x = exchange_halo_rows(x, 1, ax)
+            y = GridGATConv(
+                out_channels=self.hidden_channels,
+                heads=self.heads if not last else 1,
+                concat=not last,
+                dropout=self.dropout,
+                edge_dim=self.edge_dim,
+                connectivity=self.connectivity,
+            )(x, valid1, nbr1, eattr1, deterministic)
+            y = y[1:-1]  # interior rows only
+            width = self.hidden_channels * (self.heads if not last else 1)
+            lw = y.shape[0] * y.shape[1]
+            yf = MaskedBatchNorm(width, axis_name=ax)(
+                y.reshape(lw, width), valid1[1:-1].reshape(-1),
+                use_running_average,
+            )
+            x = yf.reshape(y.shape[0], y.shape[1], width)
+            if not last:
+                x = nn.relu(x)
+                x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+
+        logits = ClassificationHead(self.hidden_channels, self.num_classes,
+                                    self.dropout)(x, deterministic)
+        out = {
+            "class_logits": logits,
+            "class_probs": nn.softmax(logits, -1),
+            "predicted_class": jnp.argmax(logits, -1),
+            "confidence": ConfidenceHead(self.hidden_channels, self.dropout)(
+                x, deterministic),
+            "local_std": local_std,
+        }
+        if self.predict_correction:
+            out["correction"] = CorrectionHead(self.hidden_channels,
+                                               self.dropout)(x, deterministic)
+        return out
+
+    def param_name_note(self):
+        """Param layout intentionally equals GridBathymetricGNN:
+        MLPFeatureExtractor_0, GridGATConv_i, MaskedBatchNorm_i, heads."""
+
+
+def make_sharded_grid_forward(
+    model: HaloGridGNN,
+    mesh: Mesh,
+    resolution: Tuple[float, float] = (1.0, 1.0),
+):
+    """jit'd sharded forward: full [H, W] arrays in, full outputs out.
+
+    Rows are sharded over the ``graph`` axis; XLA keeps every shard's
+    compute local and rides ICI only for the halo ppermutes + BatchNorm
+    psums.
+    """
+    axis = model.axis_name
+
+    def fwd(variables, depth, valid):
+        def local(params_bs, d, v):
+            return model.apply(params_bs, d, v, resolution=resolution)
+
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: P(), variables),
+                      P(axis, None), P(axis, None)),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )(variables, depth, valid)
+
+    return jax.jit(fwd)
+
+
+def pad_rows_to_multiple(a, n: int, fill=0.0):
+    """Pad leading dim to a multiple of n (host-side helper)."""
+    import numpy as np
+
+    h = a.shape[0]
+    target = ((h + n - 1) // n) * n
+    if target == h:
+        return a, h
+    pad = np.full((target - h,) + a.shape[1:], fill, a.dtype)
+    return np.concatenate([a, pad], 0), h

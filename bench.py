@@ -9,7 +9,11 @@ comparable (vs_baseline > 1 means faster than the yardstick).
 """
 
 import json
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 NOMINAL_EDGES_PER_S = 1.0e8
 

@@ -1,0 +1,104 @@
+"""Halo-exchange spatial partition: sharded forward must exactly match the
+single-device dense-grid model on an 8-way row-sharded grid."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from bathymetric_gnn_tpu.data.graph_build import build_grid_inputs
+from bathymetric_gnn_tpu.models.grid_gat import GridBathymetricGNN
+from bathymetric_gnn_tpu.parallel.halo import (HaloGridGNN,
+                                               make_sharded_grid_forward)
+from bathymetric_gnn_tpu.parallel.mesh import make_mesh
+
+from conftest import make_ramp_surface
+
+
+def setup_case(h=64, w=48, masked=True):
+    depth = make_ramp_surface(h, w)
+    valid = np.ones((h, w), bool)
+    if masked:
+        valid[10:14, 5:30] = False      # interior hole
+        valid[30:34, :] = False         # hole crossing a shard boundary
+        valid[0, :] = False
+        depth = depth.copy()
+        depth[~valid] = np.nan
+    return np.nan_to_num(depth).astype(np.float32), valid
+
+
+@pytest.fixture(scope="module")
+def models_and_vars():
+    kw = dict(hidden_channels=16, num_layers=3, heads=2, dropout=0.0)
+    single = GridBathymetricGNN(**kw)
+    halo = HaloGridGNN(**kw)
+    depth, valid = setup_case()
+    feats, v, nbr, eattr, _ = build_grid_inputs(depth, valid)
+    variables = single.init(jax.random.PRNGKey(0), feats, v, nbr, eattr)
+    return single, halo, variables
+
+
+class TestHaloParity:
+    def test_sharded_matches_single_device(self, models_and_vars):
+        single, halo, variables = models_and_vars
+        depth, valid = setup_case()
+        feats, v, nbr, eattr, _ = build_grid_inputs(depth, valid)
+        out_single = single.apply(variables, feats, v, nbr, eattr)
+
+        mesh = make_mesh(8, graph_axis=8, axis_names=("data", "graph"))
+        fwd = make_sharded_grid_forward(halo, mesh)
+        out_sharded = fwd(variables, depth, valid)
+
+        for key in ("class_logits", "confidence", "correction"):
+            a = np.asarray(out_sharded[key])
+            b = np.asarray(out_single[key])
+            # the sharded path centers masked stats on its shard-local
+            # mean; identical math, different f32 rounding -> tiny noise
+            np.testing.assert_allclose(a[valid], b[valid], rtol=1e-3,
+                                       atol=5e-4, err_msg=key)
+
+    def test_all_valid_grid(self, models_and_vars):
+        single, halo, variables = models_and_vars
+        depth, valid = setup_case(masked=False)
+        feats, v, nbr, eattr, _ = build_grid_inputs(depth, valid)
+        out_single = single.apply(variables, feats, v, nbr, eattr)
+        mesh = make_mesh(8, graph_axis=8)
+        fwd = make_sharded_grid_forward(halo, mesh)
+        out_sharded = fwd(variables, depth, valid)
+        np.testing.assert_allclose(
+            np.asarray(out_sharded["class_logits"]),
+            np.asarray(out_single["class_logits"]), rtol=1e-3, atol=5e-4)
+
+    def test_train_mode_batchnorm_global(self, models_and_vars):
+        """psum'd BatchNorm moments == single-device batch moments."""
+        single, halo, variables = models_and_vars
+        depth, valid = setup_case()
+        feats, v, nbr, eattr, _ = build_grid_inputs(depth, valid)
+        _, upd_single = single.apply(
+            variables, feats, v, nbr, eattr, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(0)}, mutable=["batch_stats"],
+        )
+        mesh = make_mesh(8, graph_axis=8)
+        halo_model = halo
+
+        def local(vs, d, vm):
+            return halo_model.apply(
+                vs, d, vm, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(0)},
+                mutable=["batch_stats"],
+            )
+
+        fwd = jax.jit(lambda vs, d, vm: jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: P(), vs), P("graph"), P("graph")),
+            out_specs=(P("graph"), jax.tree.map(lambda _: P(), variables
+                                                ["batch_stats"]) and
+                       jax.tree.map(lambda _: P(),
+                                    {"batch_stats":
+                                     variables["batch_stats"]})),
+            check_vma=False,
+        )(vs, d, vm))
+        out, upd = fwd(variables, depth, valid)
+        a = np.asarray(upd["batch_stats"]["MaskedBatchNorm_0"]["mean"])
+        b = np.asarray(upd_single["batch_stats"]["MaskedBatchNorm_0"]["mean"])
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
