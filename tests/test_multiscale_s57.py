@@ -1,0 +1,97 @@
+"""Multi-scale pyramid and S-57 labeling tests."""
+
+import json
+
+import numpy as np
+
+from bathymetric_gnn_tpu.config.config import BucketConfig, GraphConfig
+from bathymetric_gnn_tpu.data.multiscale import (MultiScaleGraphBuilder,
+                                                 downsample_depth)
+from bathymetric_gnn_tpu.data import s57
+
+from conftest import make_ramp_surface
+
+
+class TestDownsample:
+    def test_nanmean_pooling(self):
+        depth = np.arange(16, dtype=np.float32).reshape(4, 4)
+        valid = np.ones((4, 4), bool)
+        d, v = downsample_depth(depth, valid, 2)
+        assert d.shape == (2, 2)
+        np.testing.assert_allclose(d[0, 0], np.mean([0, 1, 4, 5]))
+        assert v.all()
+
+    def test_majority_validity(self):
+        depth = np.ones((4, 4), np.float32)
+        valid = np.ones((4, 4), bool)
+        valid[0, 0] = False  # 3/4 valid -> still valid
+        valid[2:4, 0:2] = False  # 0/4 -> invalid
+        d, v = downsample_depth(depth, valid, 2)
+        assert v[0, 0]
+        assert not v[1, 0]
+        assert np.isnan(d[1, 0])
+
+
+class TestMultiScale:
+    def test_pyramid(self):
+        depth = make_ramp_surface(64, 64)
+        msb = MultiScaleGraphBuilder(
+            scales=(1, 2, 4), bucket_config=BucketConfig(node_buckets=(4096,)))
+        pyr = msb.build_multiscale_graph(depth)
+        assert set(pyr.keys()) == {1, 2, 4}
+        assert pyr[1].num_nodes == 64 * 64
+        assert pyr[2].num_nodes == 32 * 32
+        assert pyr[4].num_nodes == 16 * 16
+        # coarser levels average the fine depths
+        fine = np.asarray(pyr[1].graph.x)[: 64 * 64, 0].mean()
+        coarse = np.asarray(pyr[4].graph.x)[: 16 * 16, 0].mean()
+        np.testing.assert_allclose(fine, coarse, rtol=1e-3)
+
+
+class TestS57:
+    def make_features(self):
+        return [
+            s57.S57Feature("WRECKS", "Point", x=150.0, y=150.0, depth=12.0),
+            s57.S57Feature("UWTROC", "Point", x=20.0, y=180.0),
+            s57.S57Feature("SOUNDG", "Point", x=10.0, y=10.0),  # no label
+        ]
+
+    def test_label_rasterization(self):
+        feats = self.make_features()
+        gt = (0.0, 1.0, 0.0, 200.0, 0.0, -1.0)  # 1m cells, origin (0,200)
+        labels = s57.create_feature_labels(feats, (200, 200), gt)
+        # wreck at (150, 150) -> pixel (row 50, col 150), radius 50 px
+        assert labels[50, 150] == 1
+        assert labels[50, 199] == 1  # within 50 px
+        assert labels[190, 10] == 0  # sounding not labeled
+        # rock radius 25: at (20, 180) -> row 20, col 20
+        assert labels[20, 20] == 1
+        assert labels[20, 47] == 0   # beyond 25 px
+        assert labels[120, 20] == 0  # far from everything
+
+    def test_dedupe(self):
+        f = s57.S57Feature("WRECKS", "Point", 1.0, 2.0)
+        g = s57.S57Feature("WRECKS", "Point", 1.0, 2.0)
+        h = s57.S57Feature("OBSTRN", "Point", 1.0, 2.0)
+        assert len(s57.dedupe_by_position([f, g, h])) == 2
+
+    def test_geojson_roundtrip(self, tmp_path):
+        feats = self.make_features()
+        p = tmp_path / "f.geojson"
+        s57.features_to_geojson(feats, p)
+        loaded = s57.load_features_geojson(p)
+        assert len(loaded) == 3
+        assert loaded[0].object_class == "WRECKS"
+        assert loaded[0].x == 150.0
+
+    def test_merge_labels(self):
+        base = np.array([[-1, 0], [2, 0]], np.int32)
+        feat = np.array([[1, 1], [0, 1]], np.int32)
+        merged = s57.merge_feature_labels(base, feat)
+        np.testing.assert_array_equal(merged, [[-1, 1], [2, 1]])
+
+    def test_summary(self):
+        s = s57.summarize_features(self.make_features())
+        assert s["total"] == 3
+        assert s["by_class"]["WRECKS"] == 1
+        assert s["depth_range"] == [12.0, 12.0]
