@@ -73,13 +73,14 @@ class GATConv(nn.Module):
         if self.edge_dim is not None and g.edge_attr.shape[-1] > 0:
             we = self.param("lin_edge", _glorot, (self.edge_dim, h * c))
             att_edge = self.param("att_edge", _glorot, (1, h, c))
-            eh = (g.edge_attr @ we).reshape(-1, h, c)
-            alpha_e = alpha_e + jnp.sum(eh * att_edge, -1)
+            # collapse att_edge . (We e) to e @ M (tiny [edge_dim, heads])
+            m_edge = jnp.einsum("fac,xac->fa",
+                                we.reshape(self.edge_dim, h, c), att_edge)
+            alpha_e = alpha_e + g.edge_attr @ m_edge
             if self.add_self_loops:
                 # self-loop attr = mean of incoming edge attrs per dst node
                 mean_attr = seg.segment_mean(g.edge_attr, e_dst, n, e_mask)
-                sh = (mean_attr @ we).reshape(n, h, c)
-                alpha_self = alpha_src + alpha_dst + jnp.sum(sh * att_edge, -1)
+                alpha_self = alpha_src + alpha_dst + mean_attr @ m_edge
         elif self.add_self_loops:
             alpha_self = alpha_src + alpha_dst
 

@@ -50,16 +50,17 @@ class GATConvELL(nn.Module):
         if self.edge_dim is not None and g.edge_attr.shape[-1] > 0:
             we = self.param("lin_edge", _glorot, (self.edge_dim, h * c))
             att_edge = self.param("att_edge", _glorot, (1, h, c))
-            eh = (g.edge_attr @ we).reshape(n, k, h, c)
-            logits = logits + jnp.sum(eh * att_edge[None], -1)
+            # collapse att_edge . (We e) to e @ M (tiny [edge_dim, heads])
+            m_edge = jnp.einsum("fac,xac->fa",
+                                we.reshape(self.edge_dim, h, c), att_edge)
+            logits = logits + g.edge_attr @ m_edge
             if self.add_self_loops:
                 cnt = jnp.maximum(
                     jnp.sum(g.nbr_mask.astype(jnp.float32), 1), 1.0)
                 mean_attr = jnp.sum(
                     jnp.where(g.nbr_mask[..., None], g.edge_attr, 0.0), 1
                 ) / cnt[:, None]
-                sh = (mean_attr @ we).reshape(n, h, c)
-                self_logit = a_src + a_dst + jnp.sum(sh * att_edge, -1)
+                self_logit = a_src + a_dst + mean_attr @ m_edge
         elif self.add_self_loops:
             self_logit = a_src + a_dst
 

@@ -80,6 +80,8 @@ class GridGATConv(nn.Module):
     edge_dim: Optional[int] = 3
     use_bias: bool = True
     connectivity: int = 8
+    compute_dtype: str = "float32"  # "bfloat16" halves HBM traffic on the
+    # matmul + stencil-aggregation hot path; softmax stays f32
 
     @nn.compact
     def __call__(
@@ -93,14 +95,17 @@ class GridGATConv(nn.Module):
         hgt, wid, _ = x.shape
         hds, c = self.heads, self.out_channels
         k = nbr_mask.shape[0]
+        cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
         w = self.param("lin_src", _glorot, (x.shape[-1], hds * c))
-        xh = (x @ w).reshape(hgt, wid, hds, c)
+        xh = jnp.dot(x.astype(cd), w.astype(cd),
+                     preferred_element_type=cd).reshape(hgt, wid, hds, c)
 
         att_src = self.param("att_src", _glorot, (1, hds, c))
         att_dst = self.param("att_dst", _glorot, (1, hds, c))
-        a_src = jnp.einsum("hwac,xac->hwa", xh, att_src)  # [H, W, heads]
-        a_dst = jnp.einsum("hwac,xac->hwa", xh, att_dst)
+        xh32 = xh.astype(jnp.float32)
+        a_src = jnp.einsum("hwac,xac->hwa", xh32, att_src)  # [H, W, heads]
+        a_dst = jnp.einsum("hwac,xac->hwa", xh32, att_dst)
 
         # incoming-edge logits per offset: alpha_src at the neighbor cell
         logits = []
@@ -112,8 +117,12 @@ class GridGATConv(nn.Module):
         if self.edge_dim is not None:
             we = self.param("lin_edge", _glorot, (self.edge_dim, hds * c))
             att_edge = self.param("att_edge", _glorot, (1, hds, c))
-            eh = (edge_attr @ we).reshape(k, hgt, wid, hds, c)
-            logits = logits + jnp.einsum("khwac,xac->khwa", eh, att_edge)
+            # att_edge . (We e) == e @ M with M[f, a] = sum_c We[f, a, c] *
+            # att_edge[a, c] — avoids materializing the [K,H,W,heads,C]
+            # intermediate entirely
+            m_edge = jnp.einsum("fac,xac->fa",
+                                we.reshape(self.edge_dim, hds, c), att_edge)
+            logits = logits + edge_attr @ m_edge
             # self-loop edge attr = mean of incoming edge attrs (valid only)
             cnt = jnp.maximum(
                 jnp.sum(nbr_mask.astype(jnp.float32), 0), 1.0
@@ -121,8 +130,7 @@ class GridGATConv(nn.Module):
             mean_attr = jnp.sum(
                 jnp.where(nbr_mask[..., None], edge_attr, 0.0), 0
             ) / cnt
-            sh = (mean_attr @ we).reshape(hgt, wid, hds, c)
-            self_logit = a_src + a_dst + jnp.einsum("hwac,xac->hwa", sh, att_edge)
+            self_logit = a_src + a_dst + mean_attr @ m_edge
         else:
             self_logit = a_src + a_dst
 
@@ -148,10 +156,10 @@ class GridGATConv(nn.Module):
             keep_s = jax.random.bernoulli(rng2, 1.0 - self.dropout, w_self.shape)
             w_self = jnp.where(keep_s, w_self / (1.0 - self.dropout), 0.0)
 
-        out = xh * w_self[..., None]
+        out = xh.astype(jnp.float32) * w_self[..., None]
         for ki in range(k):
             dr, dc = self._offsets[ki]
-            out = out + shift(xh, dr, dc) * wts[ki][..., None]
+            out = out + shift(xh, dr, dc).astype(jnp.float32) * wts[ki][..., None]
 
         out = (out.reshape(hgt, wid, hds * c) if self.concat
                else out.mean(2))
@@ -198,6 +206,7 @@ class GridBathymetricGNN(nn.Module):
     feature_extractor_layers: int = 2
     edge_dim: Optional[int] = 3
     connectivity: int = 8
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -227,6 +236,7 @@ class GridBathymetricGNN(nn.Module):
                 dropout=self.dropout,
                 edge_dim=self.edge_dim,
                 connectivity=self.connectivity,
+                compute_dtype=self.compute_dtype,
             )(x, valid, nbr_mask, edge_attr, deterministic)
             width = self.hidden_channels * (self.heads if not last else 1)
             xf = MaskedBatchNorm(width)(
