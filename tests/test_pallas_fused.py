@@ -1,0 +1,113 @@
+"""Fused Pallas grid-GAT kernel: parity vs GridGATConv (interpret mode on
+CPU) and gradient correctness of the custom VJP."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bathymetric_gnn_tpu.data.graph_build import build_grid_inputs
+from bathymetric_gnn_tpu.models.grid_gat import GridGATConv
+from bathymetric_gnn_tpu.ops.pallas.grid_gat_fused import (
+    _reference_forward, fused_grid_gat, gat_param_matrices)
+from bathymetric_gnn_tpu.ops.edges import offsets_for_connectivity
+
+from conftest import make_ramp_surface
+
+
+def setup(h=32, w=128, f_in=16, heads=4, c=16, seed=0):
+    rg = np.random.default_rng(seed)
+    depth = make_ramp_surface(h, w)
+    valid = np.ones((h, w), bool)
+    valid[5:9, 10:40] = False
+    depth[~valid] = np.nan
+    _, v, nbr, eattr, _ = build_grid_inputs(
+        np.nan_to_num(depth).astype(np.float32), valid)
+    x = rg.normal(size=(h, w, f_in)).astype(np.float32)
+    x[~valid] = 0.0
+
+    layer = GridGATConv(out_channels=c, heads=heads, concat=True, edge_dim=3)
+    params = layer.init(jax.random.PRNGKey(1), jnp.asarray(x), v, nbr,
+                        eattr)["params"]
+    return layer, params, x, valid, np.asarray(nbr), np.asarray(eattr)
+
+
+def run_fused(params, x, valid, nbr, eattr, heads, c, block_rows=8,
+              use_ref=False):
+    w_lin, a_src, a_dst, m_edge, bias = gat_param_matrices(
+        params, heads, c, 3)
+    args = (jnp.asarray(x), w_lin, a_src, a_dst, m_edge,
+            jnp.asarray(eattr), jnp.asarray(nbr, jnp.float32),
+            jnp.asarray(valid, jnp.float32), bias)
+    if use_ref:
+        return _reference_forward(
+            *args, offsets=offsets_for_connectivity(8),
+            negative_slope=0.2, use_edge=True)
+    return fused_grid_gat(*args, 8, 0.2, True, block_rows, True)
+
+
+class TestFusedForward:
+    def test_reference_formulation_matches_layer(self):
+        layer, params, x, valid, nbr, eattr = setup()
+        out_layer = np.asarray(layer.apply(
+            {"params": params}, jnp.asarray(x), jnp.asarray(valid),
+            jnp.asarray(nbr), jnp.asarray(eattr)))
+        out_ref = np.asarray(run_fused(params, x, valid, nbr, eattr, 4, 16,
+                                       use_ref=True))
+        np.testing.assert_allclose(out_ref, out_layer, rtol=1e-4, atol=1e-5)
+
+    def test_pallas_kernel_matches_layer(self):
+        layer, params, x, valid, nbr, eattr = setup()
+        out_layer = np.asarray(layer.apply(
+            {"params": params}, jnp.asarray(x), jnp.asarray(valid),
+            jnp.asarray(nbr), jnp.asarray(eattr)))
+        out_k = np.asarray(run_fused(params, x, valid, nbr, eattr, 4, 16))
+        np.testing.assert_allclose(out_k, out_layer, rtol=2e-4, atol=2e-4)
+
+    def test_block_boundary_rows_exact(self):
+        # values at rows crossing block boundaries (R=8) must match too
+        layer, params, x, valid, nbr, eattr = setup(h=40)
+        out_layer = np.asarray(layer.apply(
+            {"params": params}, jnp.asarray(x), jnp.asarray(valid),
+            jnp.asarray(nbr), jnp.asarray(eattr)))
+        out_k = np.asarray(run_fused(params, x, valid, nbr, eattr, 4, 16))
+        for r in (7, 8, 15, 16, 31, 32, 39):
+            np.testing.assert_allclose(out_k[r], out_layer[r], rtol=2e-4,
+                                       atol=2e-4, err_msg=f"row {r}")
+
+    def test_odd_height_falls_back(self):
+        layer, params, x, valid, nbr, eattr = setup(h=30)  # 30 % 8 != 0
+        out = run_fused(params, x, valid, nbr, eattr, 4, 16)
+        out_layer = np.asarray(layer.apply(
+            {"params": params}, jnp.asarray(x), jnp.asarray(valid),
+            jnp.asarray(nbr), jnp.asarray(eattr)))
+        np.testing.assert_allclose(np.asarray(out), out_layer, rtol=1e-4,
+                                   atol=1e-5)
+
+
+class TestFusedBackward:
+    def test_grad_matches_xla_path(self):
+        layer, params, x, valid, nbr, eattr = setup()
+        w_lin, a_src, a_dst, m_edge, bias = gat_param_matrices(params, 4, 16, 3)
+        eattr_j = jnp.asarray(eattr)
+        nbr_j = jnp.asarray(nbr, jnp.float32)
+        valid_j = jnp.asarray(valid, jnp.float32)
+
+        def loss_fused(x_, w_):
+            o = fused_grid_gat(x_, w_, a_src, a_dst, m_edge, eattr_j, nbr_j,
+                               valid_j, bias, 8, 0.2, True, 8, True)
+            return jnp.sum(o ** 2)
+
+        def loss_ref(x_, w_):
+            o = _reference_forward(x_, w_, a_src, a_dst, m_edge, eattr_j,
+                                   nbr_j, valid_j, bias,
+                                   offsets=offsets_for_connectivity(8),
+                                   negative_slope=0.2, use_edge=True)
+            return jnp.sum(o ** 2)
+
+        gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(jnp.asarray(x), w_lin)
+        gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(jnp.asarray(x), w_lin)
+        np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r),
+                                   rtol=1e-3, atol=1e-3)
