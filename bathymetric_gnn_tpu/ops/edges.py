@@ -184,25 +184,23 @@ def knn_edges(
 ) -> np.ndarray:
     """Host-side k-NN edge list from node coordinates.
 
-    Supports the k=8 k-NN graph configs in BASELINE.json. Returns [2, N*k]
-    (src=neighbor -> dst=node, matching message flow into the node).
+    Supports the k=8 k-NN graph configs in BASELINE.json. Uses the native
+    spatial-hash kit (C++, multithreaded — bathymetric_gnn_tpu.native)
+    with a NumPy fallback. Returns [2, N*k] (src=neighbor -> dst=node,
+    matching message flow into the node).
     """
+    from ..native import knn2d
+
     n = pos.shape[0]
     if node_valid is None:
         node_valid = np.ones(n, bool)
     live = np.where(node_valid)[0]
-    p = pos[live]
-    # exact k-NN via blocked distance computation (avoids O(N^2) memory)
+    p = np.asarray(pos, np.float32)[live]
     k_eff = min(k, len(live) - 1)
     if k_eff <= 0:
         return np.zeros((2, 0), np.int64)
-    nbrs = np.empty((len(live), k_eff), np.int64)
-    block = 4096
-    for s in range(0, len(live), block):
-        e = min(s + block, len(live))
-        d2 = ((p[s:e, None, :] - p[None, :, :]) ** 2).sum(-1)
-        d2[np.arange(e - s), np.arange(s, e)] = np.inf
-        nbrs[s:e] = np.argpartition(d2, k_eff - 1, axis=1)[:, :k_eff]
-    dst = np.repeat(live, k_eff)
-    src = live[nbrs.reshape(-1)]
+    nbrs = knn2d(p, k_eff)  # [n_live, k_eff], -1 pads
+    ok = nbrs >= 0
+    dst = np.repeat(live, k_eff)[ok.reshape(-1)]
+    src = live[nbrs.reshape(-1)[ok.reshape(-1)]]
     return np.stack([src, dst], 0)
