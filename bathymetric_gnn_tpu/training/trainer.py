@@ -151,6 +151,10 @@ class Trainer:
             "train_loss": [], "val_loss": [], "train_acc": [], "val_acc": [],
             "lr": [],
         }
+        from ..utils.prof import MetricsLogger, ThroughputMeter
+
+        self.metrics = MetricsLogger(self.output_dir / "metrics.jsonl")
+        self.meter = ThroughputMeter()
         self._train_step = self._make_step(train=True)
         self._eval_step = self._make_step(train=False)
 
@@ -261,6 +265,9 @@ class Trainer:
                 state, losses, acc = self._train_step(
                     state, graph, targets, sub, jnp.float32(lr)
                 )
+                self.meter.add(edges=int(np.asarray(graph.edge_mask).sum()),
+                               nodes=int(np.asarray(graph.node_mask).sum()),
+                               tiles=graph.node_mask.shape[0])
                 tl += float(losses["total"])
                 ta += float(acc)
                 nb += 1
@@ -277,6 +284,10 @@ class Trainer:
                 "epoch %d: train %.4f/%.3f val %.4f/%.3f lr %.2e (%.1fs)",
                 epoch, tl, ta, vl, va, lr, time.time() - t0,
             )
+            self.metrics.log(epoch, {
+                "train_loss": tl, "val_loss": vl, "train_acc": ta,
+                "val_acc": va, "lr": lr, **self.meter.rates(),
+            })
             if tc.scheduler == "plateau":
                 self.plateau.step(vl)
 
