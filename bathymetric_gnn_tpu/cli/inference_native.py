@@ -46,7 +46,10 @@ def main(argv=None):
     from ..models.gnn import make_model
     from ..inference.pipeline import infer_in_channels
 
-    params, batch_stats, ckpt_cfg = load_checkpoint_variables(args.model)
+    params, batch_stats, ckpt_cfg, meta = load_checkpoint_variables(args.model)
+    if meta.get("param_layout") == "grid":
+        raise SystemExit("native VR inference needs a COO-layout checkpoint "
+                         "(trained with the graph Trainer)")
     cfg.model = ckpt_cfg.model
     in_channels = infer_in_channels(params)
     model = make_model(cfg.model, in_channels, edge_dim=3)

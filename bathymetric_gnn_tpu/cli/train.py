@@ -49,6 +49,10 @@ def parse_args(argv=None):
     p.add_argument("--num-layers", type=int)
     p.add_argument("--heads", type=int)
     p.add_argument("--seed", type=int)
+    p.add_argument("--trainer", choices=["graph", "grid"], default="graph",
+                   help="graph: COO/batched-graph trainer (any graph); "
+                        "grid: batched dense-grid trainer (fast path for "
+                        "tile data)")
     p.add_argument("--resume", action="store_true",
                    help="resume from output-dir/last")
     p.add_argument("--verbose", action="store_true")
@@ -73,6 +77,52 @@ def main(argv=None):
         if val is not None:
             setattr(getattr(cfg, sec), key, val)
     cfg.validate()
+
+    if args.trainer == "grid":
+        from ..training.grid_trainer import (GridTrainer,
+                                             GroundTruthGridDataset,
+                                             SyntheticGridDataset)
+
+        if args.ground_truth_dir:
+            files = [str(p_) for p_ in
+                     sorted(Path(args.ground_truth_dir).glob("*.tif"))]
+            if not files:
+                raise SystemExit(f"no GT rasters in {args.ground_truth_dir}")
+            n_val = (max(1, int(len(files) * args.val_split))
+                     if len(files) > 1 else 0)
+            train_ds = GroundTruthGridDataset(
+                files[:-n_val] if n_val else files,
+                tile_size=args.tile_size, overlap=args.overlap)
+            val_ds = (GroundTruthGridDataset(files[-n_val:],
+                                             tile_size=args.tile_size,
+                                             overlap=args.overlap)
+                      if n_val else None)
+        elif args.data_dir:
+            from ..io.loaders import BathymetricLoader
+
+            loader = BathymetricLoader(args.vr_bag_mode)
+            grids = []
+            for f in find_survey_files(args.data_dir):
+                try:
+                    g = loader.load(f)
+                    grids.append(np.where(g.valid_mask, g.depth, np.nan))
+                except Exception:
+                    logger.exception("skipping %s", f)
+            if not grids:
+                raise SystemExit(f"no loadable surveys in {args.data_dir}")
+            train_ds = SyntheticGridDataset(grids, cfg,
+                                            tile_size=args.tile_size,
+                                            overlap=args.overlap,
+                                            seed=cfg.training.seed)
+            val_ds = None
+        else:
+            raise SystemExit("need --data-dir or --ground-truth-dir")
+        out_dir = Path(args.output_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        cfg.save(out_dir / "config.yaml")
+        trainer = GridTrainer(cfg, train_ds, val_ds, output_dir=str(out_dir))
+        trainer.train(resume=args.resume)
+        return
 
     if args.ground_truth_dir:
         files = [str(p) for p in

@@ -32,10 +32,11 @@ from ..models.grid_gat import GridBathymetricGNN, params_from_coo
 logger = logging.getLogger(__name__)
 
 
-def load_checkpoint_variables(checkpoint_dir) -> Tuple[Dict, Dict, Config]:
-    """Load (params, batch_stats, config) from a Trainer checkpoint
+def load_checkpoint_variables(checkpoint_dir) -> Tuple[Dict, Dict, Config, Dict]:
+    """Load (params, batch_stats, config, meta) from a Trainer checkpoint
     (reference analogue: models/pipeline.py:92-132). in_channels/edge_dim
-    are recovered from parameter shapes (SURVEY Q2)."""
+    are recovered from parameter shapes (SURVEY Q2); meta records the
+    param layout ('coo' from the graph trainer, 'grid' from GridTrainer)."""
     import orbax.checkpoint as ocp
 
     path = Path(checkpoint_dir).absolute()
@@ -43,7 +44,8 @@ def load_checkpoint_variables(checkpoint_dir) -> Tuple[Dict, Dict, Config]:
         restored = ckptr.restore(path)
     cfg_path = path.parent / "config.yaml"
     cfg = Config.load(cfg_path) if cfg_path.exists() else Config()
-    return restored["params"], restored.get("batch_stats", {}), cfg
+    meta = restored.get("meta", {}) or {}
+    return restored["params"], restored.get("batch_stats", {}), cfg, meta
 
 
 def infer_in_channels(params: Dict) -> int:
@@ -72,11 +74,14 @@ class BathymetricPipeline:
     # -- model -------------------------------------------------------------
 
     def load_model(self, checkpoint_dir):
-        coo_params, coo_bs, ckpt_cfg = load_checkpoint_variables(checkpoint_dir)
+        params, bs, ckpt_cfg, meta = load_checkpoint_variables(checkpoint_dir)
         self.config.model = ckpt_cfg.model
         n_layers = ckpt_cfg.model.num_layers
-        self.params = params_from_coo(coo_params, n_layers)
-        self.batch_stats = params_from_coo(coo_bs, n_layers)
+        if meta.get("param_layout") == "grid":
+            self.params, self.batch_stats = params, bs
+        else:
+            self.params = params_from_coo(params, n_layers)
+            self.batch_stats = params_from_coo(bs, n_layers)
         self.in_channels = infer_in_channels(self.params)
         self._build_model()
 

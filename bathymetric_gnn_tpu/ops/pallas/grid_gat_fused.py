@@ -153,8 +153,17 @@ def _kernel(
         denom = denom + e
     denom = jnp.maximum(denom, 1e-16)
 
+    # head expansion [R, W, heads] -> [R, W, HC] as a tiny MXU matmul with
+    # a constant one-hot matrix (jnp.repeat's 4D reshape is unsupported by
+    # Mosaic's layout inference)
+    head_of_col = jax.lax.broadcasted_iota(jnp.int32, (heads, HC), 1) // C
+    head_row = jax.lax.broadcasted_iota(jnp.int32, (heads, HC), 0)
+    expand_mat = (head_of_col == head_row).astype(jnp.float32)
+
     def expand_heads(wts):  # [R, W, heads] -> [R, W, HC]
-        return jnp.repeat(wts, C, axis=-1)
+        return jnp.dot(wts.reshape(R * W, heads), expand_mat,
+                       preferred_element_type=jnp.float32
+                       ).reshape(R, W, HC)
 
     w_self = expand_heads(jnp.exp(self_lg - m) / denom)
     acc = xh_e[1:R + 1] * w_self
