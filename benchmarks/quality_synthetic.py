@@ -1,0 +1,121 @@
+"""Quality benchmark on synthetic data: train the flagship model briefly,
+score 3-class metrics on held-out synthetically-noised tiles.
+
+The reference's quality numbers come from real Seward AK surveys we don't
+have; this establishes the synthetic-data quality baseline (the reference's
+synthetic-only models reached ~48-63% accuracy —
+docs/TRAINING_DASHBOARD.md:11-12, TRAINING_PLAN.md:18-20).
+
+Run: python benchmarks/quality_synthetic.py [--epochs N]
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--tile-size", type=int, default=128)
+    ap.add_argument("--hidden", type=int, default=64)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--output-json")
+    args = ap.parse_args()
+
+    import jax
+
+    from bathymetric_gnn_tpu.config.config import (Config, ModelConfig,
+                                                   TrainingConfig)
+    from bathymetric_gnn_tpu.data.graph_build import build_grid_inputs
+    from bathymetric_gnn_tpu.data.synthetic_noise import \
+        SyntheticNoiseGenerator
+    from bathymetric_gnn_tpu.training.evaluation import (compute_metrics,
+                                                         print_metrics)
+    from bathymetric_gnn_tpu.training.grid_trainer import (
+        GridTrainer, SyntheticGridDataset)
+
+    rng = np.random.default_rng(0)
+
+    def make_surface(seed, size=512):
+        rg = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+        base = 30 + 8 * np.sin(xx / 90) + 5 * np.cos(yy / 70)
+        base += rg.normal(0, 0.05, base.shape)
+        # occasional bumps (reef-like structure)
+        for _ in range(6):
+            cx, cy = rg.uniform(0, size, 2)
+            r = rg.uniform(10, 40)
+            h = rg.uniform(1, 4)
+            d2 = (xx - cx) ** 2 + (yy - cy) ** 2
+            base -= h * np.exp(-d2 / (2 * r * r))
+        return base.astype(np.float32)
+
+    cfg = Config(
+        model=ModelConfig(hidden_channels=args.hidden,
+                          num_layers=args.layers, heads=4,
+                          compute_dtype="bfloat16"),
+        training=TrainingConfig(epochs=args.epochs, batch_size=8, seed=0,
+                                early_stop_patience=100),
+    )
+    train_grids = [make_surface(i) for i in range(4)]
+    val_grids = [make_surface(100 + i) for i in range(2)]
+    train_ds = SyntheticGridDataset(train_grids, cfg,
+                                    tile_size=args.tile_size, overlap=16,
+                                    seed=0)
+    val_ds = SyntheticGridDataset(val_grids, cfg, tile_size=args.tile_size,
+                                  overlap=16, seed=1)
+    trainer = GridTrainer(cfg, train_ds, val_ds,
+                          output_dir="/tmp/quality_ckpt")
+    state = trainer.train()
+
+    # held-out evaluation with full metrics
+    gen = SyntheticNoiseGenerator(cfg.synthetic_noise, seed=77)
+    all_pred, all_lbl, all_conf = [], [], []
+    fwd = None
+    import jax.numpy as jnp
+    from bathymetric_gnn_tpu.models.grid_gat import GridBathymetricGNN
+
+    eval_model = GridBathymetricGNN(
+        hidden_channels=args.hidden, num_layers=args.layers, heads=4,
+        dropout=0.0)
+
+    @jax.jit
+    def forward(variables, depth, valid):
+        f, v, n, e, _ = build_grid_inputs(depth, valid)
+        out = eval_model.apply(variables, f, v, n, e)
+        return out["predicted_class"], out["confidence"]
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    for i in range(20):
+        clean = make_surface(200 + i, size=args.tile_size)
+        lbl = gen.generate(clean)
+        valid = np.isfinite(clean)
+        pred, conf = forward(variables,
+                             jnp.asarray(np.nan_to_num(lbl.noisy_depth)),
+                             jnp.asarray(valid))
+        all_pred.append(np.asarray(pred)[valid])
+        all_lbl.append(lbl.classification[valid])
+        all_conf.append(np.asarray(conf)[valid])
+
+    metrics = compute_metrics(np.concatenate(all_pred),
+                              np.concatenate(all_lbl),
+                              np.concatenate(all_conf))
+    metrics["final_train_loss"] = trainer.history["train_loss"][-1]
+    metrics["final_val_acc"] = trainer.history["val_acc"][-1]
+    print_metrics(metrics)
+    print(json.dumps({"noise_f1": metrics["per_class"]["noise"]["f1"],
+                      "accuracy": metrics["accuracy"],
+                      "macro_f1": metrics["macro_f1"]}))
+    if args.output_json:
+        with open(args.output_json, "w") as f:
+            json.dump(metrics, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
