@@ -23,6 +23,7 @@ from ..config.config import Config
 from ..config.constants import CORRECTION_NORM_FLOOR
 from ..data.graph_build import GraphBuilder
 from ..models.gnn import BathymetricGNN, make_model
+from ..ops.ell import coo_to_ell
 from ..ops.graph import PaddedGraph, batch_graphs, round_up_to_bucket
 
 logger = logging.getLogger(__name__)
@@ -38,10 +39,25 @@ class NativeVRProcessor:
         config: Optional[Config] = None,
         node_budget: int = 50000,
         node_buckets: Tuple[int, ...] = (1024, 4096, 16384, 65536, 131072),
+        use_ell: bool = True,
     ):
         self.model = model
         self.variables = variables
         self.config = config or Config()
+        self.use_ell = use_ell
+        if use_ell:
+            # gather-only sparse path; same param tree as the COO model
+            from ..models.gnn_ell import EllBathymetricGNN
+
+            self.ell_model = EllBathymetricGNN(
+                hidden_channels=model.hidden_channels,
+                num_layers=model.num_layers, gnn_type=model.gnn_type,
+                heads=model.heads, num_classes=model.num_classes,
+                dropout=0.0,
+                predict_correction=model.predict_correction,
+                feature_extractor_layers=model.feature_extractor_layers,
+                edge_dim=model.edge_dim,
+            )
         self.builder = GraphBuilder(self.config.graph, self.config.bucket)
         self.node_budget = node_budget
         self.node_buckets = node_buckets
@@ -54,10 +70,10 @@ class NativeVRProcessor:
         self._forward = self._make_forward()
 
     def _make_forward(self):
-        model = self.model
+        model = self.ell_model if self.use_ell else self.model
 
         @jax.jit
-        def forward(variables, graph: PaddedGraph):
+        def forward(variables, graph):
             out = model.apply(variables, graph)
             corr = out.get("correction")
             if corr is not None:
@@ -111,6 +127,9 @@ class NativeVRProcessor:
             n_pad=n_pad, e_pad=e_pad,
             local_std_list=[p["local_std"] for p in self.pending],
         )
+        if self.use_ell:
+            graph = coo_to_ell(
+                graph, max_degree=self.config.graph.connectivity)
         out = self._forward(self.variables, graph)
         out = {k: np.asarray(v) for k, v in out.items()}
 

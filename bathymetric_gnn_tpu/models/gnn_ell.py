@@ -1,0 +1,130 @@
+"""ELL-layout full model, parameter-compatible with BathymetricGNN.
+
+Submodules are explicitly named to mirror models/gnn.BathymetricGNN
+(GNNBackbone_0 / GATConv_i / MaskedBatchNorm_i / heads), so any COO-trained
+checkpoint applies unchanged while message passing runs on the gather-only
+ELL layout — the production sparse path for bounded-degree graphs
+(VR refinement batches, k-NN graphs).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.ell import EllGraph
+from .conv_ell import GATConvELL, GCNConvELL, GINConvELL, SAGEConvELL
+from .layers import (ClassificationHead, ConfidenceHead, CorrectionHead,
+                     MaskedBatchNorm, MLPFeatureExtractor)
+
+
+class EllGNNBackbone(nn.Module):
+    hidden_channels: int
+    num_layers: int
+    gnn_type: str = "GAT"
+    heads: int = 4
+    dropout: float = 0.1
+    edge_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, g: EllGraph, x: jax.Array,
+                 deterministic: bool = True,
+                 use_running_average: Optional[bool] = None) -> jax.Array:
+        if use_running_average is None:
+            use_running_average = deterministic
+        for i in range(self.num_layers):
+            last = i == self.num_layers - 1
+            if self.gnn_type == "GAT":
+                x = GATConvELL(
+                    out_channels=self.hidden_channels,
+                    heads=self.heads if not last else 1,
+                    concat=not last,
+                    dropout=self.dropout,
+                    edge_dim=self.edge_dim,
+                    name=f"GATConv_{i}",
+                )(g, x, deterministic)
+                width = self.hidden_channels * (self.heads if not last else 1)
+            elif self.gnn_type == "GCN":
+                x = GCNConvELL(self.hidden_channels,
+                               name=f"GCNConv_{i}")(g, x, deterministic)
+                width = self.hidden_channels
+            elif self.gnn_type == "GraphSAGE":
+                x = SAGEConvELL(self.hidden_channels,
+                                name=f"SAGEConv_{i}")(g, x, deterministic)
+                width = self.hidden_channels
+            elif self.gnn_type == "GIN":
+                x = GINConvELL(self.hidden_channels,
+                               name=f"GINConv_{i}")(g, x, deterministic)
+                width = self.hidden_channels
+            else:
+                raise ValueError(self.gnn_type)
+            x = MaskedBatchNorm(width, name=f"MaskedBatchNorm_{i}")(
+                x, g.node_mask, use_running_average)
+            if not last:
+                x = nn.relu(x)
+                x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return x
+
+
+class EllBathymetricGNN(nn.Module):
+    """BathymetricGNN on EllGraph inputs (same param tree as the COO model)."""
+
+    hidden_channels: int = 64
+    num_layers: int = 4
+    gnn_type: str = "GAT"
+    heads: int = 4
+    num_classes: int = 3
+    dropout: float = 0.1
+    predict_correction: bool = True
+    feature_extractor_layers: int = 2
+    edge_dim: Optional[int] = 3
+
+    @nn.compact
+    def __call__(self, g: EllGraph, deterministic: bool = True,
+                 use_running_average: Optional[bool] = None
+                 ) -> Dict[str, jax.Array]:
+        x = MLPFeatureExtractor(
+            self.hidden_channels, self.feature_extractor_layers,
+            self.dropout, name="MLPFeatureExtractor_0",
+        )(g.x, deterministic)
+        x = EllGNNBackbone(
+            hidden_channels=self.hidden_channels,
+            num_layers=self.num_layers, gnn_type=self.gnn_type,
+            heads=self.heads, dropout=self.dropout,
+            edge_dim=self.edge_dim if self.gnn_type == "GAT" else None,
+            name="GNNBackbone_0",
+        )(g, x, deterministic, use_running_average)
+        logits = ClassificationHead(
+            self.hidden_channels, self.num_classes, self.dropout,
+            name="ClassificationHead_0")(x, deterministic)
+        out = {
+            "class_logits": logits,
+            "class_probs": nn.softmax(logits, -1),
+            "predicted_class": jnp.argmax(logits, -1),
+            "confidence": ConfidenceHead(self.hidden_channels, self.dropout,
+                                         name="ConfidenceHead_0")(
+                x, deterministic),
+        }
+        if self.predict_correction:
+            out["correction"] = CorrectionHead(
+                self.hidden_channels, self.dropout,
+                name="CorrectionHead_0")(x, deterministic)
+        return out
+
+
+def make_ell_model(model_cfg, in_channels: int, edge_dim: int = 3
+                   ) -> EllBathymetricGNN:
+    return EllBathymetricGNN(
+        hidden_channels=model_cfg.hidden_channels,
+        num_layers=model_cfg.num_layers,
+        gnn_type=model_cfg.gnn_type,
+        heads=model_cfg.heads,
+        num_classes=model_cfg.num_classes,
+        dropout=model_cfg.dropout,
+        predict_correction=model_cfg.predict_correction,
+        feature_extractor_layers=model_cfg.feature_extractor_layers,
+        edge_dim=edge_dim,
+    )

@@ -267,7 +267,7 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
         kern,
         grid=(hgt // r,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -16,7 +16,7 @@ import numpy as np
 from bench_util import time_fn
 
 
-def main():
+def main(iters=12):
     import jax
     import jax.numpy as jnp
 
@@ -51,13 +51,13 @@ def main():
 
     coo_fwd = jax.jit(
         lambda p, gg, xx_: layer_coo.apply({"params": p}, gg, xx_))
-    dt = time_fn(coo_fwd, [(params, g, x) for x in xs])
+    dt = time_fn(coo_fwd, [(params, g, x) for x in xs], iters=iters)
     results["coo_layer_Medges_per_s"] = round(n_edges / dt / 1e6, 1)
 
     layer_ell = GATConvELL(**kwargs)
     ell_fwd = jax.jit(
         lambda p, gg, xx_: layer_ell.apply({"params": p}, gg, xx_))
-    dt = time_fn(ell_fwd, [(params, ell, x) for x in xs])
+    dt = time_fn(ell_fwd, [(params, ell, x) for x in xs], iters=iters)
     results["ell_layer_Medges_per_s"] = round(n_edges / dt / 1e6, 1)
 
     feats, v, nbr, eattr, _ = build_grid_inputs(base_depth, valid)
@@ -67,7 +67,7 @@ def main():
         grid_fwd = jax.jit(
             lambda p, xx_, vv, nn, ee: layer_grid.apply(
                 {"params": p}, xx_, vv, nn, ee))
-        dt = time_fn(grid_fwd, [(params, xg, v, nbr, eattr) for xg in xgs])
+        dt = time_fn(grid_fwd, [(params, xg, v, nbr, eattr) for xg in xgs], iters=iters)
         results[f"grid_layer_{dtype}_Medges_per_s"] = round(
             n_edges / dt / 1e6, 1)
 
@@ -84,7 +84,7 @@ def main():
             f_, v_, n_, e_, _ = build_grid_inputs(depth, valid)
             return model.apply(variables, f_, v_, n_, e_)["class_logits"]
 
-        dt = time_fn(fwd, [(variables, d, vj) for d in depths])
+        dt = time_fn(fwd, [(variables, d, vj) for d in depths], iters=iters)
         results[f"model_fwd_{dtype}_Medges_per_s"] = round(
             n_edges * 4 / dt / 1e6, 1)
         results[f"model_fwd_{dtype}_ms"] = round(dt * 1e3, 3)
@@ -107,7 +107,7 @@ def main():
                 lp, labels[..., None], -1))
         return jax.grad(loss)(params)
 
-    dt = time_fn(train_grad, [(variables["params"], d, vj) for d in depths])
+    dt = time_fn(train_grad, [(variables["params"], d, vj) for d in depths], iters=iters)
     results["model_fwd_bwd_Medges_per_s"] = round(n_edges * 4 / dt / 1e6, 1)
     results["model_fwd_bwd_ms"] = round(dt * 1e3, 3)
 
@@ -119,9 +119,9 @@ def main():
     n_edges_knn = int(np.asarray(bg_knn.graph.edge_mask).sum())
     xk = [jnp.asarray(rg.normal(size=(bg_knn.graph.num_nodes_padded, 64))
                       .astype(np.float32)) for _ in range(4)]
-    dt = time_fn(ell_fwd, [(params, ell_knn, x) for x in xk])
+    dt = time_fn(ell_fwd, [(params, ell_knn, x) for x in xk], iters=iters)
     results["ell_knn_layer_Medges_per_s"] = round(n_edges_knn / dt / 1e6, 1)
-    dt = time_fn(coo_fwd, [(params, bg_knn.graph, x) for x in xk])
+    dt = time_fn(coo_fwd, [(params, bg_knn.graph, x) for x in xk], iters=6)
     results["coo_knn_layer_Medges_per_s"] = round(n_edges_knn / dt / 1e6, 1)
 
     print(json.dumps(results, indent=2))

@@ -70,3 +70,23 @@ def test_ell_matches_coo(coo_cls, ell_cls, kwargs):
     out_ell = np.asarray(layer_ell.apply({"params": params}, ell, ell.x))
     np.testing.assert_allclose(out_ell[:40], out_coo[:40], rtol=2e-4,
                                atol=2e-5)
+
+
+class TestEllFullModel:
+    def test_ell_model_shares_coo_checkpoint(self):
+        """EllBathymetricGNN consumes COO-trained variables unchanged."""
+        from bathymetric_gnn_tpu.models.gnn import BathymetricGNN
+        from bathymetric_gnn_tpu.models.gnn_ell import EllBathymetricGNN
+
+        g, ell = build_pair()
+        coo = BathymetricGNN(hidden_channels=16, num_layers=2, heads=2)
+        variables = coo.init(jax.random.PRNGKey(0), g)
+        out_coo = coo.apply(variables, g)
+
+        ell_model = EllBathymetricGNN(hidden_channels=16, num_layers=2,
+                                      heads=2)
+        out_ell = ell_model.apply(variables, ell)
+        for key in ("class_logits", "confidence", "correction"):
+            np.testing.assert_allclose(
+                np.asarray(out_ell[key])[:40], np.asarray(out_coo[key])[:40],
+                rtol=2e-4, atol=2e-5, err_msg=key)
