@@ -321,7 +321,10 @@ class GridTrainer:
                 lr = tc.learning_rate
             tl = ta = 0.0
             nb = 0
-            for batch in self._batches(self.train_dataset, tc.batch_size):
+            from ..utils.prefetch import prefetch_iterator
+
+            for batch in prefetch_iterator(
+                    self._batches(self.train_dataset, tc.batch_size)):
                 self.jax_rng, sub = jax.random.split(self.jax_rng)
                 state, losses, acc = self._train_step(
                     state, batch, sub, jnp.float32(lr))

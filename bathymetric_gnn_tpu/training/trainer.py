@@ -259,8 +259,11 @@ class Trainer:
                 lr = tc.learning_rate
 
             tl, ta, nb = 0.0, 0.0, 0
-            for graph, targets in epoch_batches(self.train_dataset,
-                                                tc.batch_size, self.rng):
+            from ..utils.prefetch import prefetch_iterator
+
+            for graph, targets in prefetch_iterator(
+                    epoch_batches(self.train_dataset, tc.batch_size,
+                                  self.rng)):
                 self.jax_rng, sub = jax.random.split(self.jax_rng)
                 state, losses, acc = self._train_step(
                     state, graph, targets, sub, jnp.float32(lr)
