@@ -43,8 +43,8 @@ def _interpret_default() -> bool:
 
 
 def _kernel(
-    x_hbm,        # [H, W, F] ANY
-    w_lin,        # [F, HC] VMEM
+    x_hbm,        # [H+2, W, F_pad] HBM (caller zero-pads rows + features)
+    w_lin,        # [F_pad, HC] VMEM
     a_src_mat,    # [HC, heads]
     a_dst_mat,    # [HC, heads]
     m_edge,       # [edge_dim, heads] (zeros if unused)
@@ -53,7 +53,7 @@ def _kernel(
     valid,        # [R, W] float block
     bias,         # [1, HC]
     out_ref,      # [R, W, HC] block
-    xe_scratch,   # VMEM [R+2, W, F]
+    xe_scratch,   # VMEM [R+2, W, F_pad]
     sem,          # DMA semaphore
     *,
     offsets,
@@ -66,39 +66,13 @@ def _kernel(
     use_edge: bool,
 ):
     i = pl.program_id(0)
-    n_blocks = pl.num_programs(0)
-    r0 = i * R
-    # interior rows always live at scratch rows [1, R+1); halo rows 0 and
-    # R+1 are filled from neighbors or left as garbage at grid borders
-    # (they are masked out of both logits and aggregation).
-    first = i == 0
-    last = i == n_blocks - 1
-
-    @pl.when(jnp.logical_and(jnp.logical_not(first), jnp.logical_not(last)))
-    def _():
-        cp = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(r0 - 1, R + 2)], xe_scratch.at[:], sem)
-        cp.start()
-        cp.wait()
-
-    @pl.when(first)
-    def _():
-        cp = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(0, R + 1)], xe_scratch.at[pl.ds(1, R + 1)], sem)
-        cp.start()
-        cp.wait()
-        xe_scratch[0] = jnp.zeros_like(xe_scratch[0])
-
-    @pl.when(jnp.logical_and(last, jnp.logical_not(first)))
-    def _():
-        cp = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(r0 - 1, R + 1)], xe_scratch.at[pl.ds(0, R + 1)],
-            sem)
-        cp.start()
-        cp.wait()
-        xe_scratch[R + 1] = jnp.zeros_like(xe_scratch[R + 1])
-
-    delta = 1  # interior offset is now fixed
+    # x_hbm is pre-padded: padded row r maps to grid row r-1, so block i's
+    # halo window is simply rows [i*R, i*R + R + 2). F_pad is a multiple of
+    # 128 (DMA minor-dim alignment); padding contributes exact zeros.
+    cp = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * R, R + 2)], xe_scratch.at[:], sem)
+    cp.start()
+    cp.wait()
 
     HC = heads * C
     xe = xe_scratch[:].reshape((R + 2) * W, xe_scratch.shape[-1])
@@ -263,6 +237,12 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
     )
     if interpret is None:
         interpret = _interpret_default()
+    # pad feature dim to a 128 multiple (DMA minor-dim alignment) and add
+    # one zero halo row top/bottom so the kernel's DMA is unconditional
+    f_pad = ((f_in + 127) // 128) * 128
+    x_p = jnp.pad(x.astype(jnp.float32),
+                  ((1, 1), (0, 0), (0, f_pad - f_in)))
+    w_p = jnp.pad(w_lin, ((0, f_pad - f_in), (0, 0)))
     return pl.pallas_call(
         kern,
         grid=(hgt // r,),
@@ -284,11 +264,11 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hgt, wid, hc), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((r + 2, wid, f_in), jnp.float32),
+            pltpu.VMEM((r + 2, wid, f_pad), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(x.astype(jnp.float32), w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
+    )(x_p, w_p, a_src_mat, a_dst_mat, m_edge, eattr,
       nbr_mask.astype(jnp.float32), valid.astype(jnp.float32),
       bias.reshape(1, -1))
 
