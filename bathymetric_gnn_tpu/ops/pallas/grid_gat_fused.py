@@ -115,16 +115,14 @@ def _kernel(
                                     ).reshape(R, W, heads)
     self_lg = jnp.where(self_lg >= 0, self_lg, negative_slope * self_lg)
 
-    # stable softmax over offsets + self
+    # stable softmax over offsets + self; exps recomputed in the
+    # aggregation pass to keep the VMEM stack small
     m = self_lg
     for lg in logits:
         m = jnp.maximum(m, lg)
     denom = jnp.exp(self_lg - m)
-    exps = []
     for k, lg in enumerate(logits):
-        e = jnp.exp(lg - m) * (nm[k][..., None] > 0)
-        exps.append(e)
-        denom = denom + e
+        denom = denom + jnp.exp(lg - m) * (nm[k][..., None] > 0)
     denom = jnp.maximum(denom, 1e-16)
 
     # head expansion [R, W, heads] -> [R, W, HC] as a tiny MXU matmul with
@@ -144,7 +142,8 @@ def _kernel(
     for k, (dr, dc) in enumerate(offsets):
         xn = xh_e[1 + dr:1 + dr + R]
         xn = pltpu.roll(xn, (-dc) % W, 1)
-        acc = acc + xn * expand_heads(exps[k] / denom)
+        e_k = jnp.exp(logits[k] - m) * (nm[k][..., None] > 0)
+        acc = acc + xn * expand_heads(e_k / denom)
 
     acc = acc + bias[:].reshape(1, 1, HC)
     out_ref[:] = acc * (valid[:][..., None] > 0)
@@ -267,6 +266,9 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
             pltpu.VMEM((r + 2, wid, f_pad), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(x_p, w_p, a_src_mat, a_dst_mat, m_edge, eattr,
       nbr_mask.astype(jnp.float32), valid.astype(jnp.float32),
