@@ -18,6 +18,8 @@ import sys
 import time
 from pathlib import Path
 
+import jax.numpy as jnp  # noqa: E402  (after sys.path setup below)
+
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 NOMINAL_EDGES_PER_S = 1.0e8
@@ -61,7 +63,10 @@ def main():
     @jax.jit
     def forward(variables, depth, valid):
         feats, v, nbr, eattr, _ = build_grid_inputs(depth, valid)
-        return model.apply(variables, feats, v, nbr, eattr)["class_logits"]
+        out = model.apply(variables, feats, v, nbr, eattr)["class_logits"]
+        # scalar-reduce: block_until_ready fetches outputs over the remote
+        # tunnel, which would otherwise dominate the measurement
+        return jnp.sum(out)
 
     feats, v, nbr, eattr, _ = build_grid_inputs(base, valid)
     variables = model.init(jax.random.PRNGKey(0), feats, v, nbr, eattr)
