@@ -59,16 +59,18 @@ class BathymetricPipeline:
     """Load model -> tile -> dense-grid forward -> stitch -> write."""
 
     def __init__(self, config: Optional[Config] = None,
-                 vr_bag_mode: str = "resampled"):
+                 vr_bag_mode: str = "resampled", tile_batch: int = 4):
         self.config = config or Config()
         self.loader = BathymetricLoader(vr_bag_mode)
         self.writer = BathymetricWriter()
         t = self.config.tile
         self.tm = TileManager(t.tile_size, t.overlap, t.min_valid_ratio)
+        self.tile_batch = max(1, tile_batch)
         self.params: Optional[Dict] = None
         self.batch_stats: Optional[Dict] = None
         self.model: Optional[GridBathymetricGNN] = None
         self._forward = None
+        self._forward_batch = None
         self.in_channels = 7
 
     # -- model -------------------------------------------------------------
@@ -134,6 +136,40 @@ class BathymetricPipeline:
 
         self._forward = forward
 
+        @partial(jax.jit, static_argnames=("resolution", "with_unc"))
+        def forward_batch(variables, depth, valid, uncertainty, *, resolution,
+                          with_unc):
+            """Batched tile forward: [B, H, W] stacks vmapped through
+            featurization + model (uniform tile shapes only)."""
+
+            def one(d, v_, u_):
+                return build_grid_inputs(
+                    d, v_, u_ if with_unc else None, resolution=resolution,
+                    connectivity=conn, stats_window=win,
+                    with_uncertainty=with_unc,
+                )
+
+            if with_unc:
+                feats, v, nbr, eattr, local_std = jax.vmap(one)(
+                    depth, valid, uncertainty)
+            else:
+                feats, v, nbr, eattr, local_std = jax.vmap(
+                    lambda d, v_: one(d, v_, None))(depth, valid)
+            out = jax.vmap(
+                lambda f_, vv, nn, ee: model.apply(variables, f_, vv, nn, ee)
+            )(feats, v, nbr, eattr)
+            corr = out.get("correction")
+            if corr is not None:
+                corr = corr * jnp.maximum(local_std, CORRECTION_NORM_FLOOR)
+            return {
+                "classification": out["predicted_class"].astype(jnp.float32),
+                "confidence": out["confidence"],
+                "correction": corr if corr is not None else
+                jnp.zeros_like(out["confidence"]),
+            }
+
+        self._forward_batch = forward_batch
+
     # -- processing --------------------------------------------------------
 
     def process(self, input_path, output_path,
@@ -151,23 +187,53 @@ class BathymetricPipeline:
         merger.initialize(grid.depth.shape,
                           ["classification", "confidence", "correction"])
         variables = {"params": self.params, "batch_stats": self.batch_stats}
+        resolution = (float(grid.resolution[0]), float(grid.resolution[1]))
         n_tiles = 0
-        for tile in self.tm.iterate_tiles(grid.depth, grid.uncertainty, valid):
+
+        def run_single(tile):
             res = self._forward(
                 variables,
                 jnp.asarray(np.nan_to_num(tile.data), jnp.float32),
                 jnp.asarray(tile.valid_mask),
                 jnp.asarray(np.nan_to_num(tile.uncertainty), jnp.float32)
                 if use_unc and tile.uncertainty is not None else None,
-                resolution=(float(grid.resolution[0]),
-                            float(grid.resolution[1])),
-                with_unc=use_unc,
+                resolution=resolution, with_unc=use_unc,
             )
+            merger.add_tile(tile.spec, {k: np.asarray(v)
+                                        for k, v in res.items()},
+                            tile_valid=tile.valid_mask)
+
+        def run_batch(tiles):
+            depth_b = jnp.asarray(np.stack(
+                [np.nan_to_num(t.data) for t in tiles]), jnp.float32)
+            valid_b = jnp.asarray(np.stack([t.valid_mask for t in tiles]))
+            unc_b = (jnp.asarray(np.stack(
+                [np.nan_to_num(t.uncertainty) for t in tiles]), jnp.float32)
+                if use_unc else None)
+            res = self._forward_batch(variables, depth_b, valid_b, unc_b,
+                                      resolution=resolution, with_unc=use_unc)
             res_np = {k: np.asarray(v) for k, v in res.items()}
-            merger.add_tile(tile.spec, res_np, tile_valid=tile.valid_mask)
-            n_tiles += 1
-            if n_tiles % 10 == 0:
+            for bi, t in enumerate(tiles):
+                merger.add_tile(t.spec, {k: v[bi] for k, v in res_np.items()},
+                                tile_valid=t.valid_mask)
+
+        full_shape = (self.tm.tile_size, self.tm.tile_size)
+        pending: list = []
+        for tile in self.tm.iterate_tiles(grid.depth, grid.uncertainty, valid):
+            if self.tile_batch > 1 and tile.shape == full_shape:
+                pending.append(tile)
+                if len(pending) == self.tile_batch:
+                    run_batch(pending)
+                    n_tiles += len(pending)
+                    pending = []
+            else:
+                run_single(tile)
+                n_tiles += 1
+            if n_tiles and n_tiles % 20 == 0:
                 logger.info("processed %d tiles", n_tiles)
+        for t in pending:  # ragged tail runs single to avoid a new compile
+            run_single(t)
+            n_tiles += 1
 
         final = merger.finalize()
         # back-fill unprocessed valid cells as seafloor / confidence 0
