@@ -101,6 +101,10 @@ class BathymetricPipeline:
 
     def _build_model(self):
         mc = self.config.model
+        flag = getattr(mc, "use_pallas", "auto")
+        use_pallas = (flag == "on") or (
+            flag == "auto" and jax.default_backend() == "tpu"
+            and mc.compute_dtype == "float32")
         self.model = GridBathymetricGNN(
             hidden_channels=mc.hidden_channels, num_layers=mc.num_layers,
             heads=mc.heads, num_classes=mc.num_classes,
@@ -108,6 +112,7 @@ class BathymetricPipeline:
             predict_correction=mc.predict_correction,
             feature_extractor_layers=mc.feature_extractor_layers,
             edge_dim=3, connectivity=self.config.graph.connectivity,
+            use_pallas=use_pallas,
         )
         model = self.model
         conn = self.config.graph.connectivity

@@ -82,6 +82,8 @@ class GridGATConv(nn.Module):
     connectivity: int = 8
     compute_dtype: str = "float32"  # "bfloat16" halves HBM traffic on the
     # matmul + stencil-aggregation hot path; softmax stays f32
+    use_pallas: bool = False  # fused single-kernel layer (2.6x vs XLA on
+    # v5e); deterministic f32 path only, falls back otherwise
 
     @nn.compact
     def __call__(
@@ -96,6 +98,11 @@ class GridGATConv(nn.Module):
         hds, c = self.heads, self.out_channels
         k = nbr_mask.shape[0]
         cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+        if (self.use_pallas and self.compute_dtype == "float32"
+                and (deterministic or self.dropout == 0)
+                and self.edge_dim is not None):
+            return self._pallas_path(x, valid, nbr_mask, edge_attr)
 
         w = self.param("lin_src", _glorot, (x.shape[-1], hds * c))
         xh = jnp.dot(x.astype(cd), w.astype(cd),
@@ -174,6 +181,42 @@ class GridGATConv(nn.Module):
         # order matches ops.edges.OFFSETS_* so COO parity holds exactly
         return offsets_for_connectivity(self.connectivity)
 
+    def _pallas_path(self, x, valid, nbr_mask, edge_attr):
+        """Fused single-kernel layer (ops/pallas/grid_gat_fused)."""
+        from ..ops.pallas.grid_gat_fused import (fused_grid_gat,
+                                                 gat_param_matrices)
+
+        hds, c = self.heads, self.out_channels
+        params = {
+            "lin_src": self.param("lin_src", _glorot, (x.shape[-1], hds * c)),
+            "att_src": self.param("att_src", _glorot, (1, hds, c)),
+            "att_dst": self.param("att_dst", _glorot, (1, hds, c)),
+            "lin_edge": self.param("lin_edge", _glorot,
+                                   (self.edge_dim, hds * c)),
+            "att_edge": self.param("att_edge", _glorot, (1, hds, c)),
+        }
+        if self.use_bias:
+            params["bias"] = self.param(
+                "bias", nn.initializers.zeros,
+                (hds * c if self.concat else c,))
+        w_lin, a_src, a_dst, m_edge, _ = gat_param_matrices(
+            params, hds, c, self.edge_dim)
+        kernel_bias = (params["bias"] if self.use_bias and self.concat
+                       else jnp.zeros(hds * c))
+        out = fused_grid_gat(
+            x, w_lin, a_src, a_dst, m_edge, edge_attr,
+            nbr_mask.astype(jnp.float32), valid.astype(jnp.float32),
+            kernel_bias, self.connectivity, self.negative_slope, True, 8,
+            None,
+        )
+        if not self.concat:
+            hgt, wid = x.shape[:2]
+            out = out.reshape(hgt, wid, hds, c).mean(2)
+            if self.use_bias:
+                out = out + params["bias"]
+            out = jnp.where(valid[..., None], out, 0.0)
+        return out
+
 
 def params_from_coo(coo_params: Dict, num_layers: int) -> Dict:
     """Translate BathymetricGNN (COO) params to GridBathymetricGNN layout.
@@ -207,6 +250,7 @@ class GridBathymetricGNN(nn.Module):
     edge_dim: Optional[int] = 3
     connectivity: int = 8
     compute_dtype: str = "float32"
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -237,6 +281,7 @@ class GridBathymetricGNN(nn.Module):
                 edge_dim=self.edge_dim,
                 connectivity=self.connectivity,
                 compute_dtype=self.compute_dtype,
+                use_pallas=self.use_pallas,
             )(x, valid, nbr_mask, edge_attr, deterministic)
             width = self.hidden_channels * (self.heads if not last else 1)
             xf = MaskedBatchNorm(width)(

@@ -3,22 +3,24 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Measures the full dense-grid pipeline on a 256x256 tile — on-device
-featurization + 4-layer/64-hidden/4-head GAT — in edges/s. Timing uses
-rotating DISTINCT inputs with blocking single-call median (naive loops
-mis-time on the remote TPU platform).
+featurization + 4-layer/64-hidden/4-head GAT with the fused Pallas layer
+kernel — in edges/s.
 
-The reference publishes no throughput numbers (BASELINE.md), so
-``vs_baseline`` is measured against NOMINAL_EDGES_PER_S — a fixed 1e8
-edges/s yardstick chosen at round 1 so progress across rounds is
-comparable (vs_baseline > 1 means faster than the yardstick).
+Timing methodology (benchmarks/RESULTS.md): chained iterations with a
+host-fetched checksum at the end. On this remote TPU platform,
+block_until_ready does not reliably wait and per-call timings include
+transfer artifacts; only a data-dependent chain ending in a host fetch is
+un-fakeable.
+
+The reference publishes no throughput numbers (BASELINE.md);
+``vs_baseline`` is measured against NOMINAL_EDGES_PER_S = 1e8 edges/s, a
+fixed yardstick chosen at round 1 so cross-round progress is comparable.
 """
 
 import json
 import sys
 import time
 from pathlib import Path
-
-import jax.numpy as jnp  # noqa: E402  (after sys.path setup below)
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
@@ -27,20 +29,6 @@ NOMINAL_EDGES_PER_S = 1.0e8
 TILE = 256          # 256x256 tile -> 65536 nodes, ~783k live edges
 LAYERS = 4          # flagship: 4-layer GAT, 64 hidden, 4 heads
 ITERS = 30
-
-
-def median_time(fn, args_list, iters=ITERS):
-    import jax
-    import numpy as np
-
-    for args in args_list:
-        jax.block_until_ready(fn(*args))
-    times = []
-    for i in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args_list[i % len(args_list)]))
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
 
 
 def main():
@@ -57,23 +45,30 @@ def main():
     valid = np.ones((h, w), bool)
     num_edges = 2 * (h - 1) * w + 2 * h * (w - 1) + 4 * (h - 1) * (w - 1)
 
+    use_pallas = jax.default_backend() == "tpu"
     model = GridBathymetricGNN(hidden_channels=64, num_layers=LAYERS, heads=4,
-                               compute_dtype="bfloat16")
-
-    @jax.jit
-    def forward(variables, depth, valid):
-        feats, v, nbr, eattr, _ = build_grid_inputs(depth, valid)
-        out = model.apply(variables, feats, v, nbr, eattr)["class_logits"]
-        # scalar-reduce: block_until_ready fetches outputs over the remote
-        # tunnel, which would otherwise dominate the measurement
-        return jnp.sum(out)
+                               use_pallas=use_pallas)
 
     feats, v, nbr, eattr, _ = build_grid_inputs(base, valid)
     variables = model.init(jax.random.PRNGKey(0), feats, v, nbr, eattr)
 
-    depths = [jax.device_put(base + i * 1e-3) for i in range(4)]
+    @jax.jit
+    def step(depth, valid):
+        f, v_, n_, e_, _ = build_grid_inputs(depth, valid)
+        out = model.apply(variables, f, v_, n_, e_)["class_logits"]
+        # data-dependent chain: next input depends on this output
+        return depth + 1e-20 * out[:, :, 0]
+
+    d = jax.device_put(base)
     vj = jax.device_put(valid)
-    dt = median_time(forward, [(variables, d, vj) for d in depths])
+    d = step(d, vj)
+    float(jnp.sum(d))  # compile + settle
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        d = step(d, vj)
+    float(jnp.sum(d))  # forces completion of the whole chain
+    dt = (time.perf_counter() - t0) / ITERS
 
     edges_per_s = num_edges * LAYERS / dt
     print(json.dumps({

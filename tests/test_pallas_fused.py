@@ -111,3 +111,29 @@ class TestFusedBackward:
                                    rtol=1e-3, atol=1e-3)
         np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r),
                                    rtol=1e-3, atol=1e-3)
+
+
+class TestPallasFlagInModel:
+    def test_grid_model_with_use_pallas_matches(self):
+        """GridBathymetricGNN(use_pallas=True) == XLA path (interpret on CPU)."""
+        import jax
+
+        from bathymetric_gnn_tpu.data.graph_build import build_grid_inputs
+        from bathymetric_gnn_tpu.models.grid_gat import GridBathymetricGNN
+
+        depth = make_ramp_surface(32, 128)
+        valid = np.ones((32, 128), bool)
+        valid[4:8, 20:60] = False
+        feats, v, nbr, eattr, _ = build_grid_inputs(
+            np.nan_to_num(depth).astype(np.float32), valid)
+        xla_model = GridBathymetricGNN(hidden_channels=16, num_layers=2,
+                                       heads=2)
+        variables = xla_model.init(jax.random.PRNGKey(0), feats, v, nbr, eattr)
+        out_x = xla_model.apply(variables, feats, v, nbr, eattr)
+        pl_model = GridBathymetricGNN(hidden_channels=16, num_layers=2,
+                                      heads=2, use_pallas=True)
+        out_p = pl_model.apply(variables, feats, v, nbr, eattr)
+        for key in ("class_logits", "confidence", "correction"):
+            np.testing.assert_allclose(
+                np.asarray(out_p[key]), np.asarray(out_x[key]),
+                rtol=2e-3, atol=2e-3, err_msg=key)
