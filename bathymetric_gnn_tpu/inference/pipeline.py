@@ -195,7 +195,27 @@ class BathymetricPipeline:
         resolution = (float(grid.resolution[0]), float(grid.resolution[1]))
         n_tiles = 0
 
-        def run_single(tile):
+        # Device dispatches are queued asynchronously; results merge on the
+        # host only once a window of batches is in flight, overlapping
+        # device compute / tunnel round trips with numpy stitching.
+        inflight: list = []
+        MAX_INFLIGHT = 4
+
+        def merge_ready(force=False):
+            nonlocal n_tiles
+            while inflight and (force or len(inflight) > MAX_INFLIGHT):
+                tiles, res = inflight.pop(0)
+                res_np = {k: np.asarray(v) for k, v in res.items()}
+                for bi, t in enumerate(tiles):
+                    one = ({k: v[bi] for k, v in res_np.items()}
+                           if res_np["confidence"].ndim == 3
+                           else res_np)
+                    merger.add_tile(t.spec, one, tile_valid=t.valid_mask)
+                    n_tiles += 1
+                if n_tiles and n_tiles % 50 < len(tiles):
+                    logger.info("processed %d tiles", n_tiles)
+
+        def dispatch_single(tile):
             res = self._forward(
                 variables,
                 jnp.asarray(np.nan_to_num(tile.data), jnp.float32),
@@ -204,11 +224,10 @@ class BathymetricPipeline:
                 if use_unc and tile.uncertainty is not None else None,
                 resolution=resolution, with_unc=use_unc,
             )
-            merger.add_tile(tile.spec, {k: np.asarray(v)
-                                        for k, v in res.items()},
-                            tile_valid=tile.valid_mask)
+            inflight.append(([tile], res))
+            merge_ready()
 
-        def run_batch(tiles):
+        def dispatch_batch(tiles):
             depth_b = jnp.asarray(np.stack(
                 [np.nan_to_num(t.data) for t in tiles]), jnp.float32)
             valid_b = jnp.asarray(np.stack([t.valid_mask for t in tiles]))
@@ -217,10 +236,8 @@ class BathymetricPipeline:
                 if use_unc else None)
             res = self._forward_batch(variables, depth_b, valid_b, unc_b,
                                       resolution=resolution, with_unc=use_unc)
-            res_np = {k: np.asarray(v) for k, v in res.items()}
-            for bi, t in enumerate(tiles):
-                merger.add_tile(t.spec, {k: v[bi] for k, v in res_np.items()},
-                                tile_valid=t.valid_mask)
+            inflight.append((tiles, res))
+            merge_ready()
 
         full_shape = (self.tm.tile_size, self.tm.tile_size)
         pending: list = []
@@ -228,17 +245,13 @@ class BathymetricPipeline:
             if self.tile_batch > 1 and tile.shape == full_shape:
                 pending.append(tile)
                 if len(pending) == self.tile_batch:
-                    run_batch(pending)
-                    n_tiles += len(pending)
+                    dispatch_batch(pending)
                     pending = []
             else:
-                run_single(tile)
-                n_tiles += 1
-            if n_tiles and n_tiles % 20 == 0:
-                logger.info("processed %d tiles", n_tiles)
+                dispatch_single(tile)
         for t in pending:  # ragged tail runs single to avoid a new compile
-            run_single(t)
-            n_tiles += 1
+            dispatch_single(t)
+        merge_ready(force=True)
 
         final = merger.finalize()
         # back-fill unprocessed valid cells as seafloor / confidence 0
