@@ -103,8 +103,9 @@ class TorchLinear(nn.Module):
 
 
 class MLPFeatureExtractor(nn.Module):
-    """Per-node pre-GNN MLP: in -> hidden -> ... -> hidden with ReLU+dropout
-    (reference LocalFeatureExtractor: models/gnn.py:34-71)."""
+    """Per-node pre-GNN MLP matching the reference LocalFeatureExtractor
+    exactly (models/gnn.py:34-71): Linear-ReLU-Dropout x (num_layers-1),
+    then a final Linear with NO activation."""
 
     hidden_channels: int
     num_layers: int = 2
@@ -112,11 +113,11 @@ class MLPFeatureExtractor(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        for _ in range(self.num_layers):
+        for _ in range(max(self.num_layers - 1, 0)):
             x = TorchLinear(self.hidden_channels)(x)
             x = nn.relu(x)
             x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        return x
+        return TorchLinear(self.hidden_channels)(x)
 
 
 class ClassificationHead(nn.Module):
