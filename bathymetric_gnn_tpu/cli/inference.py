@@ -24,6 +24,9 @@ def parse_args(argv=None):
     p.add_argument("--vr-bag-mode", default="resampled",
                    choices=["refinements", "resampled", "base"])
     p.add_argument("--no-export-extras", action="store_true")
+    p.add_argument("--streaming", action="store_true",
+                   help="row-streaming mode for surveys larger than RAM "
+                        "(GeoTIFF in/out)")
     p.add_argument("--stats-json")
     p.add_argument("--verbose", action="store_true")
     return p.parse_args(argv)
@@ -43,12 +46,19 @@ def main(argv=None):
         cfg.inference.auto_correct_threshold = args.confidence_threshold
     cfg.validate()
 
-    from ..inference.pipeline import BathymetricPipeline
+    if args.streaming:
+        from ..inference.streaming import StreamingPipeline
 
-    pipe = BathymetricPipeline(cfg, vr_bag_mode=args.vr_bag_mode)
-    pipe.load_model(args.model)
-    stats = pipe.process(args.input, args.output,
-                         export_extras=not args.no_export_extras)
+        pipe = StreamingPipeline(cfg, vr_bag_mode=args.vr_bag_mode)
+        pipe.load_model(args.model)
+        stats = pipe.process_streaming(args.input, args.output)
+    else:
+        from ..inference.pipeline import BathymetricPipeline
+
+        pipe = BathymetricPipeline(cfg, vr_bag_mode=args.vr_bag_mode)
+        pipe.load_model(args.model)
+        stats = pipe.process(args.input, args.output,
+                             export_extras=not args.no_export_extras)
     print(json.dumps(stats, indent=2))
     if args.stats_json:
         with open(args.stats_json, "w") as f:

@@ -1,0 +1,254 @@
+"""Streaming tiled inference: surveys far larger than RAM.
+
+The BASELINE headline config is a 60,000 x 60,000 survey (~3.6B cells);
+full-grid arrays (the reference's approach, models/pipeline.py:160) need
+tens of GB. This pipeline holds only a rolling row band:
+
+  windowed GeoTIFF read (strip-level) -> tile-row batch forward on device
+  -> Hann merge into a rolling band buffer -> finalized rows streamed to a
+  seekable output GeoTIFF.
+
+Memory: O(tile_size x width) regardless of survey height.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.config import Config
+from ..config.constants import CLASS_NOISE, CLASS_SEAFLOOR
+from ..data.tiling import TileManager
+from ..io.geotiff import GeoTiffWindowReader, StreamingGeoTiffWriter
+from .pipeline import BathymetricPipeline
+
+logger = logging.getLogger(__name__)
+
+OUT_BANDS = ("cleaned_depth", "classification", "confidence", "correction",
+             "valid_mask")
+
+
+class RowBandMerger:
+    """TileMerger semantics over a rolling row band (SURVEY Q7)."""
+
+    def __init__(self, tm: TileManager, width: int, band_rows: int):
+        self.tm = tm
+        self.width = width
+        self.band_rows = band_rows
+        self.base_row = 0  # global row of buffer row 0
+        ch = ("classification", "confidence", "correction")
+        self.sum = {c: np.zeros((band_rows, width), np.float32)
+                    for c in ch if c != "classification"}
+        self.weight = {c: np.zeros((band_rows, width), np.float32)
+                       for c in ch if c != "classification"}
+        self.cls = np.full((band_rows, width), np.nan, np.float32)
+        self.best_conf = np.full((band_rows, width), -np.inf, np.float32)
+
+    def advance(self, new_base: int):
+        """Slide the buffer down so row new_base is at index 0."""
+        shift = new_base - self.base_row
+        if shift <= 0:
+            return
+        for d in (self.sum, self.weight):
+            for c in d:
+                d[c] = np.roll(d[c], -shift, 0)
+                d[c][-shift:] = 0.0
+        self.cls = np.roll(self.cls, -shift, 0)
+        self.cls[-shift:] = np.nan
+        self.best_conf = np.roll(self.best_conf, -shift, 0)
+        self.best_conf[-shift:] = -np.inf
+        self.base_row = new_base
+
+    def add_tile(self, spec, results: Dict[str, np.ndarray],
+                 tile_valid: np.ndarray):
+        r0 = spec.row_start - self.base_row
+        r1 = spec.row_end - self.base_row
+        assert 0 <= r0 and r1 <= self.band_rows, (r0, r1, self.band_rows)
+        sl = np.s_[r0:r1, spec.col_start:spec.col_end]
+        bw = self.tm.blend_weights(spec.shape)
+        w = np.where(tile_valid, bw, 0.0)
+        for c in ("confidence", "correction"):
+            self.sum[c][sl] += np.where(tile_valid,
+                                        np.nan_to_num(results[c]), 0.0) * w
+            self.weight[c][sl] += w
+        conf = np.nan_to_num(results["confidence"], nan=-np.inf)
+        better = tile_valid & (conf > self.best_conf[sl])
+        region = self.cls[sl]
+        region[better] = results["classification"][better]
+        bc = self.best_conf[sl]
+        bc[better] = conf[better]
+
+    def finalize_rows(self, r0: int, r1: int) -> Dict[str, np.ndarray]:
+        """Finalized channel rows [r0, r1) (global indices)."""
+        a, b = r0 - self.base_row, r1 - self.base_row
+        out = {}
+        for c in ("confidence", "correction"):
+            wsum = self.weight[c][a:b]
+            out[c] = np.where(wsum > 0,
+                              self.sum[c][a:b] / np.maximum(wsum, 1e-12),
+                              np.nan)
+        out["classification"] = self.cls[a:b].copy()
+        return out
+
+
+class StreamingPipeline(BathymetricPipeline):
+    """BathymetricPipeline with O(band) memory over windowed GeoTIFFs."""
+
+    def process_streaming(self, input_path, output_path) -> Dict:
+        if self._forward is None:
+            raise RuntimeError("load_model() first")
+        t0 = time.time()
+        reader = GeoTiffWindowReader(input_path)
+        h, w = reader.height, reader.width
+        info = reader.info
+        gt = info.geotransform
+        resolution = ((abs(gt[1]), abs(gt[5])) if gt else (1.0, 1.0))
+        nodata = info.nodata
+        has_unc = reader.bands >= 2 and self.in_channels >= 8
+
+        nrows_t, _, specs = self.tm.compute_tile_grid((h, w))
+        # group specs by tile row
+        by_row: Dict[int, list] = {}
+        for s in specs:
+            by_row.setdefault(s.tile_row, []).append(s)
+
+        band_rows = 2 * self.tm.tile_size
+        merger = RowBandMerger(self.tm, w, band_rows)
+        writer = StreamingGeoTiffWriter(
+            output_path, h, w, len(OUT_BANDS),
+            band_descriptions=list(OUT_BANDS),
+            pixel_scale=(abs(gt[1]), abs(gt[5])) if gt else None,
+            origin=(gt[0], gt[3]) if gt else None,
+            nodata=float("nan"), crs_wkt=info.crs_wkt,
+            rows_per_strip=self.tm.stride,
+        )
+        variables = {"params": self.params, "batch_stats": self.batch_stats}
+        stats = {"tiles_processed": 0, "cells_corrected": 0,
+                 "valid_cells": 0, "noise_cells": 0, "conf_sum": 0.0}
+        thr = self.config.inference.auto_correct_threshold
+
+        def finalize_and_write(r0, r1):
+            if r1 <= r0:
+                return
+            fin = merger.finalize_rows(r0, r1)
+            depth_rows = reader.read_rows(0, r0, r1).astype(np.float32)
+            unc_rows = (reader.read_rows(1, r0, r1).astype(np.float32)
+                        if reader.bands >= 2 else
+                        np.zeros_like(depth_rows))
+            valid = np.isfinite(depth_rows) & (np.abs(depth_rows) < 1e5)
+            if nodata is not None:
+                valid &= depth_rows != nodata
+            cls = fin["classification"]
+            unproc = valid & ~np.isfinite(cls)
+            cls[unproc] = CLASS_SEAFLOOR
+            conf = np.nan_to_num(fin["confidence"])
+            conf[unproc] = 0.0
+            corr = np.nan_to_num(fin["correction"])
+            corr[unproc] = 0.0
+            cleaned = depth_rows.copy()
+            m = valid & (cls == CLASS_NOISE) & (conf > thr)
+            cleaned[m] -= corr[m]
+            unc_rows[m] *= (2.0 - conf[m])
+            rows = {
+                "cleaned_depth": np.where(valid, cleaned, np.nan),
+                "classification": np.where(valid, cls, np.nan),
+                "confidence": np.where(valid, conf, np.nan),
+                "correction": np.where(valid, corr, np.nan),
+                "valid_mask": valid.astype(np.float32),
+            }
+            for bi, name in enumerate(OUT_BANDS):
+                writer.write_rows(bi, r0, rows[name])
+            stats["valid_cells"] += int(valid.sum())
+            stats["noise_cells"] += int((valid & (cls == CLASS_NOISE)).sum())
+            stats["cells_corrected"] += int(m.sum())
+            stats["conf_sum"] += float(conf[valid].sum())
+
+        flushed = 0
+        for tr in sorted(by_row):
+            row_specs = by_row[tr]
+            r_lo = min(s.row_start for s in row_specs)
+            r_hi = max(s.row_end for s in row_specs)
+            merger.advance(min(flushed, r_lo))
+            if r_hi - merger.base_row > band_rows:
+                merger.advance(r_hi - band_rows)
+            depth_band = reader.read_rows(0, r_lo, r_hi)
+            unc_band = (reader.read_rows(1, r_lo, r_hi)
+                        if has_unc else None)
+            valid_band = (np.isfinite(depth_band)
+                          & (np.abs(depth_band) < 1e5))
+            if nodata is not None:
+                valid_band &= depth_band != nodata
+
+            batch, batch_specs = [], []
+            full = (self.tm.tile_size, self.tm.tile_size)
+
+            def flush_batch():
+                if not batch:
+                    return
+                depth_b = jnp.asarray(np.stack([b[0] for b in batch]),
+                                      jnp.float32)
+                valid_b = jnp.asarray(np.stack([b[1] for b in batch]))
+                unc_b = (jnp.asarray(np.stack([b[2] for b in batch]),
+                                     jnp.float32) if has_unc else None)
+                res = self._forward_batch(variables, depth_b, valid_b, unc_b,
+                                          resolution=resolution,
+                                          with_unc=has_unc)
+                res_np = {k: np.asarray(v) for k, v in res.items()}
+                for bi, spec in enumerate(batch_specs):
+                    merger.add_tile(spec,
+                                    {k: v[bi] for k, v in res_np.items()},
+                                    tile_valid=batch[bi][1])
+                stats["tiles_processed"] += len(batch)
+                batch.clear()
+                batch_specs.clear()
+
+            for spec in row_specs:
+                sl = np.s_[spec.row_start - r_lo:spec.row_end - r_lo,
+                           spec.col_start:spec.col_end]
+                tv = valid_band[sl]
+                if tv.mean() < self.tm.min_valid_ratio:
+                    continue
+                td = np.nan_to_num(depth_band[sl]).astype(np.float32)
+                tu = (np.nan_to_num(unc_band[sl]).astype(np.float32)
+                      if has_unc else None)
+                if spec.shape == full:
+                    batch.append((td, tv, tu))
+                    batch_specs.append(spec)
+                    if len(batch) == self.tile_batch:
+                        flush_batch()
+                else:
+                    res = self._forward(
+                        variables, jnp.asarray(td), jnp.asarray(tv),
+                        jnp.asarray(tu) if tu is not None else None,
+                        resolution=resolution, with_unc=has_unc)
+                    merger.add_tile(spec, {k: np.asarray(v)
+                                           for k, v in res.items()},
+                                    tile_valid=tv)
+                    stats["tiles_processed"] += 1
+            flush_batch()
+
+            # rows fully covered once the NEXT tile row can't touch them
+            next_start = (tr + 1) * self.tm.stride
+            final_upto = min(next_start, h) if tr + 1 in by_row else h
+            finalize_and_write(flushed, final_upto)
+            flushed = final_upto
+            if tr % 10 == 0:
+                logger.info("tile-row %d/%d, %d tiles, %d rows written",
+                            tr, nrows_t, stats["tiles_processed"], flushed)
+        finalize_and_write(flushed, h)
+        writer.close()
+        reader.close()
+
+        nv = max(stats["valid_cells"], 1)
+        return {
+            "tiles_processed": stats["tiles_processed"],
+            "valid_cells": stats["valid_cells"],
+            "noise_pct": round(100.0 * stats["noise_cells"] / nv, 2),
+            "mean_confidence": round(stats["conf_sum"] / nv, 4),
+            "cells_corrected": stats["cells_corrected"],
+            "elapsed_s": round(time.time() - t0, 2),
+        }

@@ -197,6 +197,263 @@ def read_geotiff(path) -> Tuple[np.ndarray, GeoTiffInfo]:
     return np.ascontiguousarray(out.astype(dtype.base)), info
 
 
+class GeoTiffWindowReader:
+    """Windowed strip reader: decompresses only the strips covering a
+    requested row range. Enables streaming inference over surveys too big
+    for RAM (the 60k x 60k BASELINE config)."""
+
+    def __init__(self, path):
+        self.path = Path(path)
+        self._f = open(self.path, "rb")
+        hdr = self._f.read(8)
+        if hdr[:2] == b"II":
+            self.endian = "<"
+        elif hdr[:2] == b"MM":
+            self.endian = ">"
+        else:
+            raise ValueError(f"{path}: not a TIFF")
+        _, off0 = struct.unpack(self.endian + "HI", hdr[2:])
+        entries, _ = _read_ifd_entries(self._f, 0, off0, self.endian)
+        self._entries = entries
+
+        def get(tag, default=None):
+            if tag not in entries:
+                return default
+            return _values(entries[tag], self.endian)
+
+        self.width = get(T_WIDTH)[0]
+        self.height = get(T_HEIGHT)[0]
+        self.bands = get(T_SAMPLES_PER_PIXEL, [1])[0]
+        bits = get(T_BITS, [32])
+        bits0 = bits[0] if isinstance(bits, list) else bits
+        fmt = get(T_SAMPLE_FORMAT, [1])
+        fmt0 = fmt[0] if isinstance(fmt, list) else fmt
+        self.comp = get(T_COMPRESSION, [1])[0]
+        self.planar = get(T_PLANAR, [1])[0]
+        self.rows_per_strip = get(T_ROWS_PER_STRIP, [self.height])[0]
+        self.offsets = get(T_STRIP_OFFSETS)
+        self.counts = get(T_STRIP_BYTECOUNTS)
+        if fmt0 == 3:
+            base = {32: np.float32, 64: np.float64}[bits0]
+        elif fmt0 == 2:
+            base = {8: np.int8, 16: np.int16, 32: np.int32}[bits0]
+        else:
+            base = {8: np.uint8, 16: np.uint16, 32: np.uint32}[bits0]
+        self.dtype = np.dtype(base).newbyteorder(self.endian)
+        if self.comp not in (1, 8, 32946):
+            raise NotImplementedError(f"compression {self.comp}")
+        if self.planar != 2 and self.bands != 1:
+            raise NotImplementedError("windowed reads need planar layout")
+        ps = entries.get(T_MODEL_PIXEL_SCALE)
+        tp = entries.get(T_MODEL_TIEPOINT)
+        nodata = None
+        nd = entries.get(T_GDAL_NODATA)
+        if nd is not None:
+            try:
+                nodata = float(_values(nd, self.endian).split(b"\x00")[0])
+            except (ValueError, AttributeError):
+                pass
+        self.info = GeoTiffInfo(
+            width=self.width, height=self.height, bands=self.bands,
+            dtype=np.dtype(base),
+            pixel_scale=tuple(_values(ps, self.endian)) if ps else None,
+            tiepoint=tuple(_values(tp, self.endian)) if tp else None,
+            nodata=nodata,
+        )
+        self._strips_per_band = (
+            (self.height + self.rows_per_strip - 1) // self.rows_per_strip)
+
+    def read_rows(self, band: int, r0: int, r1: int) -> np.ndarray:
+        """[r1 - r0, W] of 0-indexed band; rows clipped to the raster."""
+        r0 = max(r0, 0)
+        r1 = min(r1, self.height)
+        if r1 <= r0:
+            return np.zeros((0, self.width), self.dtype.base)
+        s0 = r0 // self.rows_per_strip
+        s1 = (r1 - 1) // self.rows_per_strip
+        rows = []
+        for s in range(s0, s1 + 1):
+            idx = band * self._strips_per_band + s
+            self._f.seek(self.offsets[idx])
+            buf = self._f.read(self.counts[idx])
+            if self.comp in (8, 32946):
+                buf = zlib.decompress(buf)
+            nrows = min(self.rows_per_strip,
+                        self.height - s * self.rows_per_strip)
+            rows.append(np.frombuffer(buf, self.dtype,
+                                      nrows * self.width
+                                      ).reshape(nrows, self.width))
+        block = np.concatenate(rows, 0)
+        lo = r0 - s0 * self.rows_per_strip
+        return np.ascontiguousarray(
+            block[lo:lo + (r1 - r0)].astype(self.dtype.base))
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class StreamingGeoTiffWriter:
+    """Row-streaming multi-band writer (uncompressed planar strips with
+    precomputed offsets, so rows can be written by seek as they finalize)."""
+
+    def __init__(self, path, height: int, width: int, bands: int,
+                 band_descriptions=None, pixel_scale=None, origin=None,
+                 nodata=None, crs_wkt=None, rows_per_strip: int = 64):
+        self.height, self.width, self.bands = height, width, bands
+        self.rows_per_strip = rows_per_strip
+        self.dtype = np.dtype("<f4")
+        n_strips_band = (height + rows_per_strip - 1) // rows_per_strip
+        n_strips = n_strips_band * bands
+
+        entries: List[Tuple[int, int, int, bytes]] = []
+
+        def short(tag, vals):
+            vals = vals if isinstance(vals, (list, tuple)) else [vals]
+            entries.append((tag, 3, len(vals),
+                            struct.pack("<" + "H" * len(vals), *vals)))
+
+        def long_(tag, vals):
+            vals = vals if isinstance(vals, (list, tuple)) else [vals]
+            entries.append((tag, 4, len(vals),
+                            struct.pack("<" + "I" * len(vals), *vals)))
+
+        def double(tag, vals):
+            entries.append((tag, 12, len(vals),
+                            struct.pack("<" + "d" * len(vals), *vals)))
+
+        def ascii_(tag, s):
+            data = s.encode("ascii", "replace") + b"\x00"
+            entries.append((tag, 2, len(data), data))
+
+        short(T_BITS, [32] * bands)
+        short(T_COMPRESSION, 1)
+        long_(T_HEIGHT, height)
+        long_(T_WIDTH, width)
+        short(T_PHOTOMETRIC, 1)
+        short(T_SAMPLES_PER_PIXEL, bands)
+        long_(T_ROWS_PER_STRIP, rows_per_strip)
+        short(T_PLANAR, 2)
+        short(T_SAMPLE_FORMAT, [3] * bands)
+        if pixel_scale is not None:
+            double(T_MODEL_PIXEL_SCALE, [pixel_scale[0], pixel_scale[1], 0.0])
+        if origin is not None:
+            double(T_MODEL_TIEPOINT, [0, 0, 0, origin[0], origin[1], 0])
+        if crs_wkt:
+            ascii_(T_GEO_ASCII, crs_wkt)
+        if band_descriptions:
+            xml = "<GDALMetadata>" + "".join(
+                f'<Item name="DESCRIPTION" sample="{i}" role="description">'
+                f"{d}</Item>" for i, d in enumerate(band_descriptions)
+            ) + "</GDALMetadata>"
+            ascii_(T_GDAL_METADATA, xml)
+        if nodata is not None:
+            ascii_(T_GDAL_NODATA, repr(float(nodata)))
+
+        # strip layout (fixed sizes, uncompressed)
+        row_bytes = width * 4
+        strip_sizes = []
+        for b in range(bands):
+            for s in range(n_strips_band):
+                nrows = min(rows_per_strip, height - s * rows_per_strip)
+                strip_sizes.append(nrows * row_bytes)
+
+        n_entries = len(entries) + 2
+        header_size = 8
+        ifd_size = 2 + n_entries * 12 + 4
+        ext = bytearray()
+        ext_base = header_size + ifd_size
+
+        off_data = struct.pack("<" + "I" * n_strips, *([0] * n_strips))
+        cnt_data = struct.pack("<" + "I" * n_strips, *strip_sizes)
+        all_entries = entries + [
+            (T_STRIP_OFFSETS, 4, n_strips, off_data),
+            (T_STRIP_BYTECOUNTS, 4, n_strips, cnt_data),
+        ]
+        all_entries.sort(key=lambda e: e[0])
+
+        packed = []
+        placeholders = {}
+        for tag, typ, n, data in all_entries:
+            size = len(data)
+            if size <= 4:
+                packed.append(struct.pack("<HHI", tag, typ, n)
+                              + data.ljust(4, b"\x00"))
+            else:
+                off = ext_base + len(ext)
+                if tag == T_STRIP_OFFSETS:
+                    placeholders[tag] = off
+                ext.extend(data)
+                if len(ext) % 2:
+                    ext.extend(b"\x00")
+                packed.append(struct.pack("<HHII", tag, typ, n, off))
+
+        data_start = ext_base + len(ext)
+        self._strip_offsets = []
+        pos = data_start
+        for sz in strip_sizes:
+            self._strip_offsets.append(pos)
+            pos += sz
+        self._n_strips_band = n_strips_band
+
+        self._f = open(path, "w+b")
+        self._f.write(b"II*\x00" + struct.pack("<I", header_size))
+        self._f.write(struct.pack("<H", len(packed)))
+        for p_ in packed:
+            self._f.write(p_)
+        self._f.write(struct.pack("<I", 0))
+        self._f.write(bytes(ext))
+        self._f.truncate(pos)
+        if T_STRIP_OFFSETS in placeholders:
+            self._f.seek(placeholders[T_STRIP_OFFSETS])
+            self._f.write(struct.pack("<" + "I" * n_strips,
+                                      *self._strip_offsets))
+        else:  # single strip: inline entry was already 0; rewrite IFD slot
+            self._rewrite_inline_offsets(packed, header_size)
+
+    def _rewrite_inline_offsets(self, packed, header_size):
+        pos = header_size + 2
+        for p_ in packed:
+            tag = struct.unpack("<H", p_[:2])[0]
+            if tag == T_STRIP_OFFSETS:
+                self._f.seek(pos + 8)
+                self._f.write(struct.pack("<I", self._strip_offsets[0]))
+            pos += 12
+
+    def write_rows(self, band: int, r0: int, rows: np.ndarray):
+        """Write [n, W] float32 rows starting at row r0. Rows must align to
+        strip boundaries except at the raster end."""
+        rows = np.ascontiguousarray(rows, "<f4")
+        n = rows.shape[0]
+        written = 0
+        while written < n:
+            r = r0 + written
+            s = r // self.rows_per_strip
+            in_strip = r - s * self.rows_per_strip
+            strip_rows = min(self.rows_per_strip,
+                             self.height - s * self.rows_per_strip)
+            take = min(n - written, strip_rows - in_strip)
+            off = (self._strip_offsets[band * self._n_strips_band + s]
+                   + in_strip * self.width * 4)
+            self._f.seek(off)
+            self._f.write(rows[written:written + take].tobytes())
+            written += take
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def write_geotiff(
     path,
     bands: np.ndarray,  # [B, H, W] or [H, W]

@@ -1,0 +1,85 @@
+"""Streaming pipeline: output must equal the in-memory pipeline's output."""
+
+import jax
+import numpy as np
+import pytest
+
+from bathymetric_gnn_tpu.config.config import (BucketConfig, Config,
+                                               ModelConfig, TileConfig)
+from bathymetric_gnn_tpu.data.graph_build import GraphBuilder
+from bathymetric_gnn_tpu.inference.pipeline import BathymetricPipeline
+from bathymetric_gnn_tpu.inference.streaming import StreamingPipeline
+from bathymetric_gnn_tpu.io.geotiff import read_geotiff, write_geotiff
+from bathymetric_gnn_tpu.models.gnn import make_model
+
+from conftest import make_ramp_surface
+
+
+def small_cfg():
+    return Config(
+        model=ModelConfig(hidden_channels=8, num_layers=2, heads=2),
+        tile=TileConfig(tile_size=64, overlap=16, min_valid_ratio=0.05),
+        bucket=BucketConfig(node_buckets=(4096, 16384)),
+    )
+
+
+@pytest.fixture(scope="module")
+def variables():
+    cfg = small_cfg()
+    model = make_model(cfg.model, in_channels=7, edge_dim=3)
+    gb = GraphBuilder(cfg.graph, cfg.bucket)
+    bg = gb.build_graph(make_ramp_surface(32, 32), np.ones((32, 32), bool))
+    return model.init(jax.random.PRNGKey(0), bg.graph)
+
+
+class TestStreamingPipeline:
+    def test_matches_in_memory_pipeline(self, variables, tmp_path):
+        depth = make_ramp_surface(200, 150, seed=3)
+        valid = np.ones(depth.shape, bool)
+        valid[40:60, 30:90] = False
+        depth[~valid] = np.nan
+        src = tmp_path / "in.tif"
+        write_geotiff(src, depth[None], pixel_scale=(1.0, 1.0),
+                      origin=(0.0, 200.0), nodata=float("nan"))
+
+        mem = BathymetricPipeline(small_cfg())
+        mem.use_variables(variables["params"], variables["batch_stats"])
+        mem.process(src, tmp_path / "mem.tif")
+
+        stream = StreamingPipeline(small_cfg())
+        stream.use_variables(variables["params"], variables["batch_stats"])
+        stats = stream.process_streaming(src, tmp_path / "str.tif")
+        assert stats["tiles_processed"] > 1
+
+        mem_bands, _ = read_geotiff(tmp_path / "mem.tif")
+        str_bands, _ = read_geotiff(tmp_path / "str.tif")
+        # band order: mem = depth, class, conf, corr, valid
+        #             str = cleaned, class, conf, corr, valid
+        for mi, si, name, tol in ((0, 0, "cleaned", 1e-4),
+                                  (1, 1, "classification", 0),
+                                  (2, 2, "confidence", 1e-4),
+                                  (3, 3, "correction", 1e-4),
+                                  (4, 4, "valid", 0)):
+            a, b = mem_bands[mi], str_bands[si]
+            if tol == 0:
+                both = np.isfinite(a) & np.isfinite(b)
+                assert (np.isfinite(a) == np.isfinite(b)).all(), name
+                np.testing.assert_array_equal(a[both], b[both], err_msg=name)
+            else:
+                np.testing.assert_allclose(
+                    np.nan_to_num(a), np.nan_to_num(b), rtol=1e-3, atol=tol,
+                    err_msg=name)
+
+    def test_memory_stays_banded(self, variables, tmp_path):
+        # tall survey: the streaming path never allocates full-height grids
+        depth = make_ramp_surface(512, 96, seed=1)
+        src = tmp_path / "tall.tif"
+        write_geotiff(src, depth[None], pixel_scale=(1.0, 1.0),
+                      origin=(0.0, 512.0))
+        stream = StreamingPipeline(small_cfg())
+        stream.use_variables(variables["params"], variables["batch_stats"])
+        stats = stream.process_streaming(src, tmp_path / "out.tif")
+        assert stats["valid_cells"] == 512 * 96
+        bands, _ = read_geotiff(tmp_path / "out.tif")
+        assert np.isfinite(bands[0]).all()
+        assert bands.shape == (5, 512, 96)
