@@ -95,14 +95,70 @@ class RowBandMerger:
         return out
 
 
+class BagWindowReader:
+    """SR BAG windowed reader with the GeoTiffWindowReader interface.
+
+    BAG stores row 0 = south; rows are served north-up like the rest of the
+    pipeline. Band 0 = elevation, band 1 = uncertainty.
+    """
+
+    def __init__(self, path):
+        import h5py
+
+        from ..config.constants import BAG_NODATA
+        from ..io.bag import SRBagHandler, detect_bag_type
+        from ..io.geotiff import GeoTiffInfo
+
+        if detect_bag_type(path) != "SR":
+            raise NotImplementedError(
+                "streaming supports SR BAGs; resample VR BAGs first or use "
+                "the native VR path")
+        handler = SRBagHandler(path)  # parses georeferencing
+        self._f = h5py.File(str(path), "r")
+        root = self._f["BAG_root"]
+        self._elev = root["elevation"]
+        self._unc = root.get("uncertainty")
+        self.height, self.width = self._elev.shape
+        self.bands = 2 if self._unc is not None else 1
+        gt = handler.geotransform
+        self.info = GeoTiffInfo(
+            width=self.width, height=self.height, bands=self.bands,
+            dtype=np.dtype(np.float32),
+            pixel_scale=(abs(gt[1]), abs(gt[5]), 0.0),
+            tiepoint=(0.0, 0.0, 0.0, gt[0], gt[3], 0.0),
+            nodata=BAG_NODATA, crs_wkt=handler.crs,
+        )
+
+    def read_rows(self, band: int, r0: int, r1: int) -> np.ndarray:
+        r0 = max(r0, 0)
+        r1 = min(r1, self.height)
+        if r1 <= r0:
+            return np.zeros((0, self.width), np.float32)
+        ds = self._elev if band == 0 else self._unc
+        # north-up row r = file row (H-1-r); contiguous block flipped
+        block = ds[self.height - r1:self.height - r0]
+        return np.ascontiguousarray(block[::-1]).astype(np.float32)
+
+    def close(self):
+        self._f.close()
+
+
+def open_window_reader(path):
+    path = str(path)
+    if path.lower().endswith(".bag"):
+        return BagWindowReader(path)
+    return GeoTiffWindowReader(path)
+
+
 class StreamingPipeline(BathymetricPipeline):
-    """BathymetricPipeline with O(band) memory over windowed GeoTIFFs."""
+    """BathymetricPipeline with O(band) memory over windowed sources
+    (strip GeoTIFFs and SR BAGs)."""
 
     def process_streaming(self, input_path, output_path) -> Dict:
         if self._forward is None:
             raise RuntimeError("load_model() first")
         t0 = time.time()
-        reader = GeoTiffWindowReader(input_path)
+        reader = open_window_reader(input_path)
         h, w = reader.height, reader.width
         info = reader.info
         gt = info.geotransform

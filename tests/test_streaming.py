@@ -83,3 +83,27 @@ class TestStreamingPipeline:
         bands, _ = read_geotiff(tmp_path / "out.tif")
         assert np.isfinite(bands[0]).all()
         assert bands.shape == (5, 512, 96)
+
+
+class TestBagStreaming:
+    def test_sr_bag_streaming(self, variables, tmp_path):
+        from bathymetric_gnn_tpu.io.bag import write_sr_bag
+
+        depth = make_ramp_surface(150, 120, seed=5)
+        src = tmp_path / "s.bag"
+        write_sr_bag(src, np.flipud(depth), np.abs(depth) * 0.01,
+                     resolution=2.0, origin=(100.0, 500.0))
+        stream = StreamingPipeline(small_cfg())
+        stream.use_variables(variables["params"], variables["batch_stats"])
+        stats = stream.process_streaming(src, tmp_path / "out.tif")
+        assert stats["valid_cells"] == 150 * 120
+        bands, info = read_geotiff(tmp_path / "out.tif")
+        assert bands.shape == (5, 150, 120)
+        # georeferencing carried through: origin_y = min_y + h*res
+        assert info.geotransform[0] == 100.0
+        assert info.geotransform[3] == 500.0 + 150 * 2.0
+        # cleaned depth equals input where not corrected (north-up check)
+        cleaned = bands[0]
+        same = np.isclose(cleaned, depth, atol=1e-4)
+        assert same.mean() > 0.5
+        assert np.isfinite(cleaned).all()
