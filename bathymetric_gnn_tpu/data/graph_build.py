@@ -125,11 +125,24 @@ class GraphBuilder:
         local_std: Optional[np.ndarray] = None,
         resolution: Tuple[float, float] = (1.0, 1.0),
         depth: Optional[np.ndarray] = None,
+        spatial_sort: bool = True,
     ) -> "BuiltGraph":
-        """k-NN graph from node coordinates (BASELINE.json k=8 configs)."""
+        """k-NN graph from node coordinates (BASELINE.json k=8 configs).
+
+        spatial_sort reorders nodes along a Morton curve first so
+        neighbor gathers are HBM-local (measurable win on TPU)."""
         from ..ops.graph import make_padded_graph
 
         n = x.shape[0]
+        order = None
+        if spatial_sort and n > 1:
+            order = edge_ops.morton_order(pos)
+            x = np.asarray(x)[order]
+            pos = np.asarray(pos)[order]
+            if local_std is not None:
+                local_std = np.asarray(local_std)[order]
+            if depth is not None:
+                depth = np.asarray(depth)[order]
         ei = edge_ops.knn_edges(pos, k)
         # edge features from positions + (optional) per-node depth
         res = np.asarray(resolution, np.float32)
@@ -148,7 +161,10 @@ class GraphBuilder:
             x, ei, attr, n_pad=n_pad, e_pad=e_pad, pos=pos,
             local_std=local_std,
         )
-        return BuiltGraph(g, grid_shape=None, num_nodes=n, rows=None, cols=None)
+        bg = BuiltGraph(g, grid_shape=None, num_nodes=n, rows=None, cols=None)
+        # graph node i corresponds to original input index perm[i]
+        bg.perm = order if order is not None else np.arange(n)
+        return bg
 
 
 @partial(jax.jit, static_argnames=("resolution", "connectivity", "stats_window",

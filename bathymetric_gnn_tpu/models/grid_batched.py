@@ -35,6 +35,7 @@ class BatchedGridGNN(nn.Module):
     edge_dim: Optional[int] = 3
     connectivity: int = 8
     compute_dtype: str = "float32"
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -65,6 +66,7 @@ class BatchedGridGNN(nn.Module):
                 edge_dim=self.edge_dim,
                 connectivity=self.connectivity,
                 compute_dtype=self.compute_dtype,
+                use_pallas=self.use_pallas,
             )
             # vmap the conv over the batch; params broadcast, dropout rng
             # split per sample

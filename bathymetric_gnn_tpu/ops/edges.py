@@ -177,6 +177,28 @@ def compact_edges(
     return src_c, dst_c, attr_c, keep
 
 
+def morton_order(pos: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Permutation sorting 2-D points along a Z-order (Morton) curve.
+
+    Spatially-close nodes get close indices, so k-NN gathers hit nearby
+    HBM rows — the sparse-path analogue of the grid layout's locality.
+    """
+    p = np.asarray(pos, np.float64)
+    lo = p.min(0)
+    span = np.maximum(p.max(0) - lo, 1e-12)
+    q = ((p - lo) / span * ((1 << bits) - 1)).astype(np.uint64)
+
+    def spread(v):
+        v = v & np.uint64((1 << bits) - 1)
+        out = np.zeros_like(v)
+        for b in range(bits):
+            out |= ((v >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b)
+        return out
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1))
+    return np.argsort(code, kind="stable")
+
+
 def knn_edges(
     pos: np.ndarray,
     k: int,

@@ -159,6 +159,7 @@ class GridTrainer:
             feature_extractor_layers=mc.feature_extractor_layers,
             edge_dim=3, connectivity=config.graph.connectivity,
             compute_dtype=mc.compute_dtype,
+            use_pallas=(getattr(mc, "use_pallas", "auto") == "on"),
         )
         self.train_dataset = train_dataset
         self.val_dataset = val_dataset

@@ -153,3 +153,41 @@ class TestPaddedGraphBatching:
         dst = np.asarray(g.edge_dst)[em]
         # every node has exactly k incoming edges
         assert (np.bincount(dst, minlength=50) == 8).all()
+
+
+class TestMortonKnn:
+    def test_spatial_sort_preserves_graph_semantics(self):
+        from bathymetric_gnn_tpu.ops.edges import morton_order
+
+        gb = GraphBuilder(GraphConfig(), BucketConfig(node_buckets=(256,)))
+        rg = np.random.default_rng(0)
+        pos = rg.uniform(0, 10, (60, 2)).astype(np.float32)
+        x = rg.normal(size=(60, 7)).astype(np.float32)
+        bg = gb.build_knn_graph(x, pos, k=5, spatial_sort=True)
+        perm = bg.perm
+        # features follow the permutation
+        np.testing.assert_allclose(np.asarray(bg.graph.x)[:60], x[perm],
+                                   rtol=1e-6)
+        # neighbor sets invariant under reordering
+        bg0 = gb.build_knn_graph(x, pos, k=5, spatial_sort=False)
+        inv = np.argsort(perm)
+
+        def edge_set(bg_, mapping):
+            em = np.asarray(bg_.graph.edge_mask)
+            src = np.asarray(bg_.graph.edge_src)[em]
+            dst = np.asarray(bg_.graph.edge_dst)[em]
+            return set(zip(mapping[src].tolist(), mapping[dst].tolist()))
+
+        assert edge_set(bg, perm) == edge_set(bg0, np.arange(60))
+
+    def test_morton_locality(self):
+        from bathymetric_gnn_tpu.ops.edges import morton_order
+
+        rg = np.random.default_rng(1)
+        pos = rg.uniform(0, 100, (4000, 2)).astype(np.float32)
+        order = morton_order(pos)
+        sorted_pos = pos[order]
+        # consecutive nodes much closer after sorting than before
+        d_before = np.linalg.norm(np.diff(pos, axis=0), axis=1).mean()
+        d_after = np.linalg.norm(np.diff(sorted_pos, axis=0), axis=1).mean()
+        assert d_after < d_before / 5
