@@ -5,9 +5,9 @@ refinement batches: deg <= 9) edges are stored destination-major as
 [N, max_deg] source indices + mask. Message passing becomes gather-only:
 no scatter at all — segment softmax collapses to a masked softmax over the
 degree axis, and aggregation is a weighted sum over k gathered rows. XLA
-lowers this to pure gathers + dense reductions, which TPUs run orders of
-magnitude faster than scatter-adds (bench: ~8.4M edges/s scatter COO vs
-multi-G edges/s ELL on v5e).
+lowers this to pure gathers + dense reductions, which TPUs run much
+faster than scatter-adds (v5e, k=8 k-NN: ~29M edges/s ELL vs ~7M COO;
+see benchmarks/RESULTS.md).
 
 This is the layout behind BASELINE.json's "padded CSR/COO ... static
 edge-count bucketing": CSR-by-destination with rows padded to max_deg.
