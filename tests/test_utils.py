@@ -70,3 +70,17 @@ class TestProf:
         ml.log(1, {"loss": 0.5})
         lines = [json.loads(x) for x in p.read_text().splitlines()]
         assert lines[1]["loss"] == 0.5 and lines[1]["step"] == 1
+
+
+class TestBenchImports:
+    def test_bench_and_entry_importable(self):
+        import importlib.util
+        from pathlib import Path
+
+        root = Path(__file__).resolve().parent.parent
+        for name in ("bench", "__graft_entry__"):
+            spec = importlib.util.spec_from_file_location(
+                name, root / f"{name}.py")
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            assert hasattr(mod, "main") or hasattr(mod, "entry")
