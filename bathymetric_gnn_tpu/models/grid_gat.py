@@ -93,6 +93,9 @@ class GridGATConv(nn.Module):
         nbr_mask: jax.Array,    # [K, H, W] bool
         edge_attr: jax.Array,   # [K, H, W, edge_dim]
         deterministic: bool = True,
+        bn_scale: Optional[jax.Array] = None,  # fused-epilogue BN affine
+        bn_bias: Optional[jax.Array] = None,
+        fuse_relu: bool = False,
     ) -> jax.Array:
         hgt, wid, _ = x.shape
         hds, c = self.heads, self.out_channels
@@ -102,7 +105,9 @@ class GridGATConv(nn.Module):
         if (self.use_pallas and self.compute_dtype == "float32"
                 and (deterministic or self.dropout == 0)
                 and self.edge_dim is not None):
-            return self._pallas_path(x, valid, nbr_mask, edge_attr)
+            return self._pallas_path(x, valid, nbr_mask, edge_attr,
+                                     bn_scale, bn_bias, fuse_relu)
+        assert bn_scale is None, "epilogue fusion requires the pallas path"
 
         w = self.param("lin_src", _glorot, (x.shape[-1], hds * c))
         xh = jnp.dot(x.astype(cd), w.astype(cd),
@@ -181,9 +186,11 @@ class GridGATConv(nn.Module):
         # order matches ops.edges.OFFSETS_* so COO parity holds exactly
         return offsets_for_connectivity(self.connectivity)
 
-    def _pallas_path(self, x, valid, nbr_mask, edge_attr):
+    def _pallas_path(self, x, valid, nbr_mask, edge_attr,
+                     bn_scale=None, bn_bias=None, fuse_relu=False):
         """Fused single-kernel layer (ops/pallas/grid_gat_fused)."""
         from ..ops.pallas.grid_gat_fused import (fused_grid_gat,
+                                                 fused_grid_gat_infer,
                                                  gat_param_matrices)
 
         hds, c = self.heads, self.out_channels
@@ -201,19 +208,30 @@ class GridGATConv(nn.Module):
                 (hds * c if self.concat else c,))
         w_lin, a_src, a_dst, m_edge, _ = gat_param_matrices(
             params, hds, c, self.edge_dim)
-        kernel_bias = (params["bias"] if self.use_bias and self.concat
+        # heads == 1: concat vs head-mean are identical, so the kernel can
+        # emit the final value (and take the real bias) either way
+        direct = self.concat or hds == 1
+        kernel_bias = (params["bias"] if self.use_bias and direct
                        else jnp.zeros(hds * c))
-        out = fused_grid_gat(
-            x, w_lin, a_src, a_dst, m_edge, edge_attr,
-            nbr_mask.astype(jnp.float32), valid.astype(jnp.float32),
-            kernel_bias, self.connectivity, self.negative_slope, True, 8,
-            None,
-        )
-        if not self.concat:
+        args = (x, w_lin, a_src, a_dst, m_edge, edge_attr,
+                nbr_mask.astype(jnp.float32), valid.astype(jnp.float32),
+                kernel_bias, self.connectivity, self.negative_slope, True, 8,
+                None)
+        if bn_scale is not None and direct:
+            return fused_grid_gat_infer(*args, bn_scale=bn_scale,
+                                        bn_bias=bn_bias,
+                                        fuse_relu=fuse_relu)
+        out = fused_grid_gat(*args)
+        if not direct:
             hgt, wid = x.shape[:2]
             out = out.reshape(hgt, wid, hds, c).mean(2)
             if self.use_bias:
                 out = out + params["bias"]
+            out = jnp.where(valid[..., None], out, 0.0)
+        if bn_scale is not None:
+            out = out * bn_scale + bn_bias
+            if fuse_relu:
+                out = jnp.maximum(out, 0.0)
             out = jnp.where(valid[..., None], out, 0.0)
         return out
 
@@ -271,9 +289,18 @@ class GridBathymetricGNN(nn.Module):
             self.hidden_channels, self.feature_extractor_layers, self.dropout
         )(features, deterministic)
 
+        # inference fast path: fold each BatchNorm's running-stats affine
+        # (+ ReLU) into the preceding conv's Pallas kernel epilogue, saving
+        # one full activation read+write round trip per layer
+        fuse_epilogue = (self.use_pallas and deterministic
+                         and use_running_average
+                         and self.compute_dtype == "float32"
+                         and self.edge_dim is not None)
+
         for i in range(self.num_layers):
             last = i == self.num_layers - 1
-            x = GridGATConv(
+            width = self.hidden_channels * (self.heads if not last else 1)
+            conv = GridGATConv(
                 out_channels=self.hidden_channels,
                 heads=self.heads if not last else 1,
                 concat=not last,
@@ -282,14 +309,22 @@ class GridBathymetricGNN(nn.Module):
                 connectivity=self.connectivity,
                 compute_dtype=self.compute_dtype,
                 use_pallas=self.use_pallas,
-            )(x, valid, nbr_mask, edge_attr, deterministic)
-            width = self.hidden_channels * (self.heads if not last else 1)
-            xf = MaskedBatchNorm(width)(
-                x.reshape(-1, width), flat_valid, use_running_average
             )
-            x = xf.reshape(hgt, wid, width)
+            norm = MaskedBatchNorm(width)
+            if fuse_epilogue:
+                sc2, bi2 = norm(jnp.zeros((1, width)),
+                                jnp.ones((1,), bool),
+                                use_running_average, return_affine=True)
+                x = conv(x, valid, nbr_mask, edge_attr, deterministic,
+                         bn_scale=sc2, bn_bias=bi2, fuse_relu=not last)
+            else:
+                x = conv(x, valid, nbr_mask, edge_attr, deterministic)
+                xf = norm(x.reshape(-1, width), flat_valid,
+                          use_running_average)
+                x = xf.reshape(hgt, wid, width)
+                if not last:
+                    x = nn.relu(x)
             if not last:
-                x = nn.relu(x)
                 x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
 
         logits = ClassificationHead(self.hidden_channels, self.num_classes,

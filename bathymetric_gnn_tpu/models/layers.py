@@ -35,6 +35,7 @@ class MaskedBatchNorm(nn.Module):
         x: jax.Array,  # [N, F]
         mask: jax.Array,  # [N] bool
         use_running_average: bool = False,
+        return_affine: bool = False,
     ) -> jax.Array:
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -44,6 +45,13 @@ class MaskedBatchNorm(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones(self.features)
         )
+
+        if return_affine:
+            # fold the running-stats normalization into (scale2, bias2) so
+            # a producer kernel can fuse y = x*scale2 + bias2 (inference)
+            scale2 = scale * jax.lax.rsqrt(ra_var.value + self.eps)
+            bias2 = bias - ra_mean.value * scale2
+            return scale2, bias2
 
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value

@@ -45,40 +45,37 @@ def _box_filter_sum(x: jax.Array, size: int) -> jax.Array:
     """Sum over a size x size window, zero outside the array boundary.
 
     Matches ``ndimage.uniform_filter(mode='constant', cval=0) * size**2``
-    (reference: data/graph_construction.py:398-432). Separable: two 1-D
-    convolutions on the VPU.
+    (reference: data/graph_construction.py:398-432). Separable shift-adds:
+    single-channel conv_general_dilated lowers terribly on TPU (C=1 starves
+    the MXU), while 2*(size-1) slice-adds of the padded plane fuse into two
+    VPU passes.
     """
     pad = size // 2
-    k = jnp.ones((size,), x.dtype)
-    # rows
-    xr = lax.conv_general_dilated(
-        x[None, None, :, :],
-        k[None, None, :, None],
-        window_strides=(1, 1),
-        padding=((pad, size - 1 - pad), (0, 0)),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    # cols
-    xc = lax.conv_general_dilated(
-        xr,
-        k[None, None, None, :],
-        window_strides=(1, 1),
-        padding=((0, 0), (pad, size - 1 - pad)),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return xc[0, 0]
+    h, w = x.shape
+    xp = jnp.pad(x, ((pad, size - 1 - pad), (0, 0)))
+    xr = xp[0:h]
+    for i in range(1, size):
+        xr = xr + xp[i:i + h]
+    xp = jnp.pad(xr, ((0, 0), (pad, size - 1 - pad)))
+    xc = xp[:, 0:w]
+    for i in range(1, size):
+        xc = xc + xp[:, i:i + w]
+    return xc
 
 
 def _conv3x3(x: jax.Array, kernel: jax.Array, pad_mode: str) -> jax.Array:
-    """3x3 convolution with explicit edge handling."""
+    """3x3 stencil with explicit edge handling, as fused shift-adds."""
+    import numpy as _np
+
+    h, w = x.shape
     xp = jnp.pad(x, 1, mode=pad_mode)
-    return lax.conv_general_dilated(
-        xp[None, None],
-        kernel[None, None],
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
+    out = jnp.zeros_like(x)
+    kv = _np.asarray(kernel)  # static stencil weights
+    for i in range(3):
+        for j in range(3):
+            if kv[i, j] != 0.0:
+                out = out + float(kv[i, j]) * xp[i:i + h, j:j + w]
+    return out
 
 
 def masked_local_stats(
@@ -146,20 +143,14 @@ def curvature(depth_filled: jax.Array, valid_mask: jax.Array) -> jax.Array:
     Matches ``ndimage.laplace`` (symmetric boundary) + the reference's
     valid-neighbor gate (reference: data/graph_construction.py:434-456).
     """
-    lap_kernel = jnp.array(
-        [[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]], jnp.float32
+    import numpy as _np
+
+    lap_kernel = _np.array(
+        [[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]], _np.float32
     )
     lap = _conv3x3(depth_filled, lap_kernel, "symmetric")
-    ones = jnp.ones((3, 3), jnp.float32)
     # reference uses ndimage.convolve(mode='constant') for the count
-    vp = jnp.pad(valid_mask.astype(jnp.float32), 1, mode="constant")
-    count = lax.conv_general_dilated(
-        vp[None, None],
-        ones[None, None],
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
+    count = _box_filter_sum(valid_mask.astype(jnp.float32), 3)
     return jnp.where(count < 3, 0.0, lap)
 
 

@@ -1,17 +1,31 @@
 """Fused grid-GAT layer as a single Pallas TPU kernel.
 
 One kernel performs, per row-block of the tile:
-  HBM->VMEM DMA of the input block with a 1-row halo
-  -> MXU matmul (x @ W)                      (xh never touches HBM)
+  MXU matmul (x @ W) on the block + a 1-row halo    (xh never touches HBM)
   -> per-offset attention logits + LeakyReLU
   -> masked softmax over <=K offsets + injected self-loop
   -> shifted-window weighted aggregation
-  -> bias + validity mask -> HBM write of the output block.
+  -> bias + validity mask -> output block.
 
-HBM traffic: read x once (+halo overlap) + tiny edge logits, write out
-once — versus the XLA path which materializes xh and the attention
-weights. Math is identical to models/grid_gat.GridGATConv (PyG-exact,
-SURVEY Q3) and is verified against it by parity tests.
+The layer is HBM-bandwidth-bound, so the design minimizes traffic:
+
+  * x is passed reshaped [H/R, R, W, F] so input windows tile it EXACTLY
+    (no overlapping-window re-reads), with the 1-row top/bottom halos
+    delivered as two tiny [H/R, 1, W, F] side arrays built by XLA strided
+    slices. Pallas double-buffers all three streams; no manual DMA.
+  * attention-dot matrices are folded into the input matmul:
+    a_src = (x @ W) @ a == x @ (W @ a), so one [*, F] @ [F, 2*heads]
+    matmul replaces two [*, HC] @ [HC, heads] matmuls.
+  * per-edge logit contributions (eattr @ M_edge, incl. the self-loop's
+    mean-edge-attr term) are precomputed by XLA outside the kernel and
+    pre-masked to NEG on missing neighbors, removing 9 tiny matmuls and
+    all mask traffic from the kernel.
+
+Math is identical to models/grid_gat.GridGATConv (PyG-exact, SURVEY Q3)
+and is verified against it by parity tests. (On real TPUs the XLA path
+runs matmuls at bf16 MXU precision by default, so kernel-vs-XLA deltas
+there are dominated by XLA's own matmul rounding; interpret-mode CPU
+parity is tight.)
 
 Backward: custom_vjp whose residuals are the layer inputs; the backward
 pass re-runs the XLA reference formulation under jax.vjp (rematerialized —
@@ -21,8 +35,7 @@ same recompute-vs-stash tradeoff as flash attention).
 from __future__ import annotations
 
 import functools
-import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,86 +56,62 @@ def _interpret_default() -> bool:
 
 
 def _kernel(
-    x_hbm,        # [H+2, W, F_pad] HBM (caller zero-pads rows + features)
-    w_lin,        # [F_pad, HC] VMEM
-    a_src_mat,    # [HC, heads]
-    a_dst_mat,    # [HC, heads]
-    m_edge,       # [edge_dim, heads] (zeros if unused)
-    eattr,        # [K, R, W, edge_dim] block
-    nbr_mask,     # [K, R, W] float block
+    x_blk,        # [1, R, W, F] block (exact tiling of x)
+    halo_top,     # [1, 1, W, F] block — grid row i*R - 1 (zeros at i=0)
+    halo_bot,     # [1, 1, W, F] block — grid row i*R + R (zeros at end)
+    w_lin,        # [F, HC] VMEM
+    wa_cat,       # [F, 2*heads] VMEM  (W @ [a_src | a_dst])
+    el,           # [K, R, W, heads] block — premasked edge logits
+    el_self,      # [R, W, heads] block — self-loop edge logit term
     valid,        # [R, W] float block
     bias,         # [1, HC]
+    bn_scale,     # [1, HC] fused BatchNorm scale*rsqrt(var+eps) (or ones)
+    bn_bias,      # [1, HC] fused BatchNorm bias - mean*scale2 (or zeros)
     out_ref,      # [R, W, HC] block
-    xe_scratch,   # VMEM [R+2, W, F_pad]
-    sem,          # DMA semaphore
     *,
     offsets,
     R: int,
-    H: int,
     W: int,
     heads: int,
     C: int,
     negative_slope: float,
-    use_edge: bool,
+    fuse_bn: bool,
+    fuse_relu: bool,
 ):
-    i = pl.program_id(0)
-    # x_hbm is pre-padded: padded row r maps to grid row r-1, so block i's
-    # halo window is simply rows [i*R, i*R + R + 2). F_pad is a multiple of
-    # 128 (DMA minor-dim alignment); padding contributes exact zeros.
-    cp = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * R, R + 2)], xe_scratch.at[:], sem)
-    cp.start()
-    cp.wait()
-
     HC = heads * C
-    xe = xe_scratch[:].reshape((R + 2) * W, xe_scratch.shape[-1])
+    # halo-extended block: row r of xe is grid row i*R + r - 1
+    xe = jnp.concatenate([halo_top[0], x_blk[0], halo_bot[0]], axis=0)
+    xe = xe.reshape((R + 2) * W, xe.shape[-1])
     xh_e = jnp.dot(xe, w_lin[:], preferred_element_type=jnp.float32)
-    a_src_e = jnp.dot(xh_e, a_src_mat[:],
-                      preferred_element_type=jnp.float32).reshape(R + 2, W,
-                                                                  heads)
-    a_dst_e = jnp.dot(xh_e, a_dst_mat[:],
-                      preferred_element_type=jnp.float32).reshape(R + 2, W,
-                                                                  heads)
+    ad = jnp.dot(xe, wa_cat[:], preferred_element_type=jnp.float32)
+    ad = ad.reshape(R + 2, W, 2 * heads)
     xh_e = xh_e.reshape(R + 2, W, HC)
 
-    a_dst_i = a_dst_e[1:R + 1]
+    a_src_e = ad[:, :, :heads]
+    a_dst_i = ad[1:R + 1, :, heads:2 * heads]
     a_src_i = a_src_e[1:R + 1]
+    elb = el[:]
 
-    nm = nbr_mask[:]
-    ea = eattr[:]
-
-    # per-offset logits
+    # per-offset logits; missing neighbors arrive premasked at ~NEG via el
+    # (LeakyReLU keeps them at 0.2*NEG, which exp() flushes to exactly 0)
     logits = []
     for k, (dr, dc) in enumerate(offsets):
         a_n = a_src_e[1 + dr:1 + dr + R]
         a_n = pltpu.roll(a_n, (-dc) % W, 1)  # pltpu.roll needs shift >= 0
-        lg = a_n + a_dst_i
-        if use_edge:
-            lg = lg + jnp.dot(ea[k].reshape(R * W, -1), m_edge[:],
-                              preferred_element_type=jnp.float32
-                              ).reshape(R, W, heads)
-        lg = jnp.where(lg >= 0, lg, negative_slope * lg)  # leaky relu
-        lg = jnp.where(nm[k][..., None] > 0, lg, NEG)
+        lg = a_n + a_dst_i + elb[k]
+        lg = jnp.where(lg >= 0, lg, negative_slope * lg)
         logits.append(lg)
 
-    # self logit (mean incoming edge attr)
-    self_lg = a_src_i + a_dst_i
-    if use_edge:
-        cnt = jnp.maximum(jnp.sum(nm, 0), 1.0)[..., None]
-        mean_attr = jnp.sum(ea * nm[..., None], 0) / cnt
-        self_lg = self_lg + jnp.dot(mean_attr.reshape(R * W, -1), m_edge[:],
-                                    preferred_element_type=jnp.float32
-                                    ).reshape(R, W, heads)
+    self_lg = a_src_i + a_dst_i + el_self[:]
     self_lg = jnp.where(self_lg >= 0, self_lg, negative_slope * self_lg)
 
-    # stable softmax over offsets + self; exps recomputed in the
-    # aggregation pass to keep the VMEM stack small
+    # stable softmax over offsets + self
     m = self_lg
     for lg in logits:
         m = jnp.maximum(m, lg)
     denom = jnp.exp(self_lg - m)
-    for k, lg in enumerate(logits):
-        denom = denom + jnp.exp(lg - m) * (nm[k][..., None] > 0)
+    for lg in logits:
+        denom = denom + jnp.exp(lg - m)
     denom = jnp.maximum(denom, 1e-16)
 
     # head expansion [R, W, heads] -> [R, W, HC] as a tiny MXU matmul with
@@ -137,15 +126,19 @@ def _kernel(
                        preferred_element_type=jnp.float32
                        ).reshape(R, W, HC)
 
-    w_self = expand_heads(jnp.exp(self_lg - m) / denom)
-    acc = xh_e[1:R + 1] * w_self
+    inv = 1.0 / denom
+    acc = xh_e[1:R + 1] * expand_heads(jnp.exp(self_lg - m) * inv)
     for k, (dr, dc) in enumerate(offsets):
         xn = xh_e[1 + dr:1 + dr + R]
         xn = pltpu.roll(xn, (-dc) % W, 1)
-        e_k = jnp.exp(logits[k] - m) * (nm[k][..., None] > 0)
-        acc = acc + xn * expand_heads(e_k / denom)
+        acc = acc + xn * expand_heads(jnp.exp(logits[k] - m) * inv)
 
     acc = acc + bias[:].reshape(1, 1, HC)
+    if fuse_bn:
+        acc = acc * bn_scale[:].reshape(1, 1, HC) + bn_bias[:].reshape(
+            1, 1, HC)
+    if fuse_relu:
+        acc = jnp.maximum(acc, 0.0)
     out_ref[:] = acc * (valid[:][..., None] > 0)
 
 
@@ -212,67 +205,108 @@ def fused_grid_gat(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
                           negative_slope, use_edge, block_rows, interpret)
 
 
+def fused_grid_gat_infer(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
+                         nbr_mask, valid, bias, connectivity, negative_slope,
+                         use_edge, block_rows, interpret, *,
+                         bn_scale=None, bn_bias=None, fuse_relu=False):
+    """Inference-only fused layer with an optional fused epilogue: the
+    following BatchNorm's running-stats affine (scale*rsqrt(var+eps),
+    bias-mean*scale) and ReLU applied in-kernel before the single HBM
+    write, saving a full read+write round trip of the activation per
+    layer. No custom VJP — do not differentiate through this."""
+    return _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
+                          nbr_mask, valid, bias, connectivity,
+                          negative_slope, use_edge, block_rows, interpret,
+                          bn_scale=bn_scale, bn_bias=bn_bias,
+                          fuse_relu=fuse_relu)
+
+
 def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
                    valid, bias, connectivity, negative_slope, use_edge,
-                   block_rows, interpret):
+                   block_rows, interpret, bn_scale=None, bn_bias=None,
+                   fuse_relu=False):
     offsets = _offsets(connectivity)
     hgt, wid, f_in = x.shape
     heads = a_src_mat.shape[1]
     hc = w_lin.shape[1]
     c = hc // heads
     k = len(offsets)
-    ed = eattr.shape[-1]
     r = block_rows
+    fuse_bn = bn_scale is not None
     if hgt % r != 0 or hgt < 2 * r:
         # fall back to the XLA formulation for odd shapes
-        return _reference_forward(
+        out = _reference_forward(
             x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask, valid,
             bias, offsets=offsets, negative_slope=negative_slope,
             use_edge=use_edge)
+        if fuse_bn:
+            out = out * bn_scale + bn_bias
+        if fuse_relu:
+            out = jnp.maximum(out, 0.0)
+        if fuse_bn or fuse_relu:
+            out = out * (valid[..., None] > 0)
+        return out
+
+    # --- XLA-side precompute (tiny vs the kernel body, fused by XLA) ---
+    nbm = nbr_mask[..., None] > 0
+    if use_edge:
+        el = jnp.where(nbm, eattr @ m_edge, NEG)          # [K, H, W, heads]
+        cnt = jnp.maximum(jnp.sum(nbr_mask, 0), 1.0)[..., None]
+        mean_attr = jnp.sum(jnp.where(nbm, eattr, 0.0), 0) / cnt
+        el_self = mean_attr @ m_edge                      # [H, W, heads]
+    else:
+        el = jnp.where(nbm, 0.0, NEG) * jnp.ones((1, 1, 1, heads))
+        el_self = jnp.zeros((hgt, wid, heads), jnp.float32)
+    wa_cat = jnp.concatenate(
+        [w_lin @ a_src_mat, w_lin @ a_dst_mat], axis=1)   # [F, 2*heads]
+
+    x = x.astype(jnp.float32)
+    nb = hgt // r
+    xr = x.reshape(nb, r, wid, f_in)
+    z = jnp.zeros((1, wid, f_in), jnp.float32)
+    halo_top = jnp.concatenate([z, x[r - 1::r][:-1]], 0).reshape(
+        nb, 1, wid, f_in)
+    halo_bot = jnp.concatenate([x[r::r], z], 0).reshape(nb, 1, wid, f_in)
 
     kern = functools.partial(
-        _kernel, offsets=offsets, R=r, H=hgt, W=wid, heads=heads, C=c,
-        negative_slope=negative_slope, use_edge=use_edge,
+        _kernel, offsets=offsets, R=r, W=wid, heads=heads, C=c,
+        negative_slope=negative_slope, fuse_bn=fuse_bn, fuse_relu=fuse_relu,
     )
     if interpret is None:
         interpret = _interpret_default()
-    # pad feature dim to a 128 multiple (DMA minor-dim alignment) and add
-    # one zero halo row top/bottom so the kernel's DMA is unconditional
-    f_pad = ((f_in + 127) // 128) * 128
-    x_p = jnp.pad(x.astype(jnp.float32),
-                  ((1, 1), (0, 0), (0, f_pad - f_in)))
-    w_p = jnp.pad(w_lin, ((0, f_pad - f_in), (0, 0)))
+    sc2 = (bn_scale if fuse_bn else jnp.ones(hc)).reshape(1, hc)
+    bi2 = (bn_bias if fuse_bn else jnp.zeros(hc)).reshape(1, hc)
     return pl.pallas_call(
         kern,
-        grid=(hgt // r,),
+        grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, r, wid, ed), lambda i: (0, i, 0, 0),
+            pl.BlockSpec((1, r, wid, f_in), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, r, wid), lambda i: (0, i, 0),
+            pl.BlockSpec((1, 1, wid, f_in), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, wid, f_in), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, r, wid, heads), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, wid, heads), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r, wid), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((r, wid, hc), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hgt, wid, hc), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((r + 2, wid, f_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x_p, w_p, a_src_mat, a_dst_mat, m_edge, eattr,
-      nbr_mask.astype(jnp.float32), valid.astype(jnp.float32),
-      bias.reshape(1, -1))
+    )(xr, halo_top, halo_bot, w_lin, wa_cat, el, el_self,
+      valid.astype(jnp.float32), bias.reshape(1, -1), sc2, bi2)
 
 
 def _fwd(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask, valid,
