@@ -102,9 +102,11 @@ class BathymetricPipeline:
     def _build_model(self):
         mc = self.config.model
         flag = getattr(mc, "use_pallas", "auto")
+        # the fused kernel serves both f32 and bf16 inference (bf16 streams
+        # activations through HBM at half width; class/confidence parity
+        # verified in tests/test_pallas_fused.py)
         use_pallas = (flag == "on") or (
-            flag == "auto" and jax.default_backend() == "tpu"
-            and mc.compute_dtype == "float32")
+            flag == "auto" and jax.default_backend() == "tpu")
         self.model = GridBathymetricGNN(
             hidden_channels=mc.hidden_channels, num_layers=mc.num_layers,
             heads=mc.heads, num_classes=mc.num_classes,
@@ -112,6 +114,7 @@ class BathymetricPipeline:
             predict_correction=mc.predict_correction,
             feature_extractor_layers=mc.feature_extractor_layers,
             edge_dim=3, connectivity=self.config.graph.connectivity,
+            compute_dtype=mc.compute_dtype,
             use_pallas=use_pallas,
         )
         model = self.model

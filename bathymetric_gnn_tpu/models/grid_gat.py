@@ -102,9 +102,13 @@ class GridGATConv(nn.Module):
         k = nbr_mask.shape[0]
         cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
-        if (self.use_pallas and self.compute_dtype == "float32"
-                and (deterministic or self.dropout == 0)
-                and self.edge_dim is not None):
+        # bf16 kernel I/O is inference-only (the custom-VJP training path
+        # stays f32), so it requires the fused-epilogue call (bn_scale set)
+        pallas_ok = (self.use_pallas and self.edge_dim is not None
+                     and (deterministic or self.dropout == 0)
+                     and (self.compute_dtype == "float32"
+                          or bn_scale is not None))
+        if pallas_ok:
             return self._pallas_path(x, valid, nbr_mask, edge_attr,
                                      bn_scale, bn_bias, fuse_relu)
         assert bn_scale is None, "epilogue fusion requires the pallas path"
@@ -217,10 +221,13 @@ class GridGATConv(nn.Module):
                 nbr_mask.astype(jnp.float32), valid.astype(jnp.float32),
                 kernel_bias, self.connectivity, self.negative_slope, True, 8,
                 None)
+        cd = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
+              else jnp.float32)
         if bn_scale is not None and direct:
             return fused_grid_gat_infer(*args, bn_scale=bn_scale,
                                         bn_bias=bn_bias,
-                                        fuse_relu=fuse_relu)
+                                        fuse_relu=fuse_relu,
+                                        compute_dtype=cd)
         out = fused_grid_gat(*args)
         if not direct:
             hgt, wid = x.shape[:2]
@@ -291,10 +298,11 @@ class GridBathymetricGNN(nn.Module):
 
         # inference fast path: fold each BatchNorm's running-stats affine
         # (+ ReLU) into the preceding conv's Pallas kernel epilogue, saving
-        # one full activation read+write round trip per layer
+        # one full activation read+write round trip per layer; with
+        # compute_dtype=bfloat16 the kernels also stream activations
+        # through HBM in bf16 (softmax/accumulation stay f32 in-kernel)
         fuse_epilogue = (self.use_pallas and deterministic
                          and use_running_average
-                         and self.compute_dtype == "float32"
                          and self.edge_dim is not None)
 
         for i in range(self.num_layers):

@@ -80,6 +80,7 @@ def _kernel(
 ):
     HC = heads * C
     # halo-extended block: row r of xe is grid row i*R + r - 1
+    # (inputs may be bf16 — MXU-native; accumulation stays f32)
     xe = jnp.concatenate([halo_top[0], x_blk[0], halo_bot[0]], axis=0)
     xe = xe.reshape((R + 2) * W, xe.shape[-1])
     xh_e = jnp.dot(xe, w_lin[:], preferred_element_type=jnp.float32)
@@ -90,7 +91,7 @@ def _kernel(
     a_src_e = ad[:, :, :heads]
     a_dst_i = ad[1:R + 1, :, heads:2 * heads]
     a_src_i = a_src_e[1:R + 1]
-    elb = el[:]
+    elb = el[:].astype(jnp.float32)
 
     # per-offset logits; missing neighbors arrive premasked at ~NEG via el
     # (LeakyReLU keeps them at 0.2*NEG, which exp() flushes to exactly 0)
@@ -102,7 +103,7 @@ def _kernel(
         lg = jnp.where(lg >= 0, lg, negative_slope * lg)
         logits.append(lg)
 
-    self_lg = a_src_i + a_dst_i + el_self[:]
+    self_lg = a_src_i + a_dst_i + el_self[:].astype(jnp.float32)
     self_lg = jnp.where(self_lg >= 0, self_lg, negative_slope * self_lg)
 
     # stable softmax over offsets + self
@@ -139,7 +140,7 @@ def _kernel(
             1, 1, HC)
     if fuse_relu:
         acc = jnp.maximum(acc, 0.0)
-    out_ref[:] = acc * (valid[:][..., None] > 0)
+    out_ref[:] = (acc * (valid[:][..., None] > 0)).astype(out_ref.dtype)
 
 
 def _reference_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
@@ -208,23 +209,29 @@ def fused_grid_gat(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
 def fused_grid_gat_infer(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
                          nbr_mask, valid, bias, connectivity, negative_slope,
                          use_edge, block_rows, interpret, *,
-                         bn_scale=None, bn_bias=None, fuse_relu=False):
+                         bn_scale=None, bn_bias=None, fuse_relu=False,
+                         compute_dtype=jnp.float32):
     """Inference-only fused layer with an optional fused epilogue: the
     following BatchNorm's running-stats affine (scale*rsqrt(var+eps),
     bias-mean*scale) and ReLU applied in-kernel before the single HBM
     write, saving a full read+write round trip of the activation per
-    layer. No custom VJP — do not differentiate through this."""
+    layer. No custom VJP — do not differentiate through this.
+
+    compute_dtype=bfloat16 streams x/halos/weights/edge-logits through HBM
+    and the MXU in bf16 (halving the dominant traffic) while keeping all
+    softmax math and matmul accumulation in f32; the output is written
+    bf16 so consecutive layers chain without recasting."""
     return _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
                           nbr_mask, valid, bias, connectivity,
                           negative_slope, use_edge, block_rows, interpret,
                           bn_scale=bn_scale, bn_bias=bn_bias,
-                          fuse_relu=fuse_relu)
+                          fuse_relu=fuse_relu, compute_dtype=compute_dtype)
 
 
 def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
                    valid, bias, connectivity, negative_slope, use_edge,
                    block_rows, interpret, bn_scale=None, bn_bias=None,
-                   fuse_relu=False):
+                   fuse_relu=False, compute_dtype=jnp.float32):
     offsets = _offsets(connectivity)
     hgt, wid, f_in = x.shape
     heads = a_src_mat.shape[1]
@@ -233,8 +240,13 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
     k = len(offsets)
     r = block_rows
     fuse_bn = bn_scale is not None
+    lowp = compute_dtype != jnp.float32
     if hgt % r != 0 or hgt < 2 * r:
-        # fall back to the XLA formulation for odd shapes
+        # fall back to the XLA formulation for odd shapes; in low precision,
+        # emulate the kernel's rounding (bf16 inputs, f32 accumulation)
+        if lowp:
+            x = x.astype(compute_dtype).astype(jnp.float32)
+            w_lin = w_lin.astype(compute_dtype).astype(jnp.float32)
         out = _reference_forward(
             x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask, valid,
             bias, offsets=offsets, negative_slope=negative_slope,
@@ -245,7 +257,7 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
             out = jnp.maximum(out, 0.0)
         if fuse_bn or fuse_relu:
             out = out * (valid[..., None] > 0)
-        return out
+        return out.astype(compute_dtype)
 
     # --- XLA-side precompute (tiny vs the kernel body, fused by XLA) ---
     nbm = nbr_mask[..., None] > 0
@@ -260,10 +272,14 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
     wa_cat = jnp.concatenate(
         [w_lin @ a_src_mat, w_lin @ a_dst_mat], axis=1)   # [F, 2*heads]
 
-    x = x.astype(jnp.float32)
+    x = x.astype(compute_dtype)
+    w_lin = w_lin.astype(compute_dtype)
+    wa_cat = wa_cat.astype(compute_dtype)
+    el = el.astype(compute_dtype)
+    el_self = el_self.astype(compute_dtype)
     nb = hgt // r
     xr = x.reshape(nb, r, wid, f_in)
-    z = jnp.zeros((1, wid, f_in), jnp.float32)
+    z = jnp.zeros((1, wid, f_in), compute_dtype)
     halo_top = jnp.concatenate([z, x[r - 1::r][:-1]], 0).reshape(
         nb, 1, wid, f_in)
     halo_bot = jnp.concatenate([x[r::r], z], 0).reshape(nb, 1, wid, f_in)
@@ -300,7 +316,7 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
         ],
         out_specs=pl.BlockSpec((r, wid, hc), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hgt, wid, hc), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((hgt, wid, hc), compute_dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

@@ -45,9 +45,14 @@ def main():
     valid = np.ones((h, w), bool)
     num_edges = 2 * (h - 1) * w + 2 * h * (w - 1) + 4 * (h - 1) * (w - 1)
 
-    use_pallas = jax.default_backend() == "tpu"
+    # flagship TPU serving mode: fused Pallas layers with bf16 HBM streams
+    # (f32 softmax/accumulation in-kernel; class/confidence parity vs f32
+    # verified in tests/test_pallas_fused.py::TestFusedBf16)
+    on_tpu = jax.default_backend() == "tpu"
     model = GridBathymetricGNN(hidden_channels=64, num_layers=LAYERS, heads=4,
-                               use_pallas=use_pallas)
+                               use_pallas=on_tpu,
+                               compute_dtype="bfloat16" if on_tpu
+                               else "float32")
 
     feats, v, nbr, eattr, _ = build_grid_inputs(base, valid)
     variables = model.init(jax.random.PRNGKey(0), feats, v, nbr, eattr)

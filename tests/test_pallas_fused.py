@@ -85,6 +85,73 @@ class TestFusedForward:
                                    atol=1e-5)
 
 
+class TestFusedBf16:
+    def test_bf16_kernel_close_to_f32_layer(self):
+        """bf16-I/O kernel (interpret) tracks the f32 layer within bf16
+        rounding (inputs are ~unit scale, outputs O(1))."""
+        from bathymetric_gnn_tpu.ops.pallas.grid_gat_fused import (
+            fused_grid_gat_infer)
+
+        layer, params, x, valid, nbr, eattr = setup()
+        out_layer = np.asarray(layer.apply(
+            {"params": params}, jnp.asarray(x), jnp.asarray(valid),
+            jnp.asarray(nbr), jnp.asarray(eattr)))
+        w_lin, a_src, a_dst, m_edge, bias = gat_param_matrices(
+            params, 4, 16, 3)
+        out_bf = fused_grid_gat_infer(
+            jnp.asarray(x), w_lin, a_src, a_dst, m_edge, jnp.asarray(eattr),
+            jnp.asarray(nbr, jnp.float32), jnp.asarray(valid, jnp.float32),
+            bias, 8, 0.2, True, 8, True, compute_dtype=jnp.bfloat16)
+        assert out_bf.dtype == jnp.bfloat16
+        err = np.abs(np.asarray(out_bf, np.float32) - out_layer)
+        scale = np.maximum(np.abs(out_layer), 1.0)
+        assert np.max(err / scale) < 0.06, np.max(err / scale)
+
+    def test_bf16_odd_height_fallback_close(self):
+        from bathymetric_gnn_tpu.ops.pallas.grid_gat_fused import (
+            fused_grid_gat_infer)
+
+        layer, params, x, valid, nbr, eattr = setup(h=30)
+        out_layer = np.asarray(layer.apply(
+            {"params": params}, jnp.asarray(x), jnp.asarray(valid),
+            jnp.asarray(nbr), jnp.asarray(eattr)))
+        w_lin, a_src, a_dst, m_edge, bias = gat_param_matrices(
+            params, 4, 16, 3)
+        out_bf = fused_grid_gat_infer(
+            jnp.asarray(x), w_lin, a_src, a_dst, m_edge, jnp.asarray(eattr),
+            jnp.asarray(nbr, jnp.float32), jnp.asarray(valid, jnp.float32),
+            bias, 8, 0.2, True, 8, True, compute_dtype=jnp.bfloat16)
+        assert out_bf.dtype == jnp.bfloat16
+        err = np.abs(np.asarray(out_bf, np.float32) - out_layer)
+        scale = np.maximum(np.abs(out_layer), 1.0)
+        assert np.max(err / scale) < 0.06, np.max(err / scale)
+
+    def test_bf16_model_classes_match_f32(self):
+        """Flagship model in bf16-pallas mode predicts (nearly) the same
+        classes as the f32 XLA path."""
+        depth = make_ramp_surface(32, 128)
+        valid = np.ones((32, 128), bool)
+        feats, v, nbr, eattr, _ = build_grid_inputs(
+            depth.astype(np.float32), valid)
+        from bathymetric_gnn_tpu.models.grid_gat import GridBathymetricGNN
+
+        f32_model = GridBathymetricGNN(hidden_channels=16, num_layers=2,
+                                       heads=2)
+        variables = f32_model.init(jax.random.PRNGKey(0), feats, v, nbr,
+                                   eattr)
+        out_f32 = f32_model.apply(variables, feats, v, nbr, eattr)
+        bf_model = GridBathymetricGNN(hidden_channels=16, num_layers=2,
+                                      heads=2, use_pallas=True,
+                                      compute_dtype="bfloat16")
+        out_bf = bf_model.apply(variables, feats, v, nbr, eattr)
+        agree = np.mean(np.asarray(out_bf["predicted_class"])
+                        == np.asarray(out_f32["predicted_class"]))
+        assert agree > 0.99, agree
+        np.testing.assert_allclose(
+            np.asarray(out_bf["confidence"], np.float32),
+            np.asarray(out_f32["confidence"]), atol=0.05)
+
+
 class TestFusedBackward:
     def test_grad_matches_xla_path(self):
         layer, params, x, valid, nbr, eattr = setup()
