@@ -4,11 +4,23 @@ Stage B of the distribution design (SURVEY §5 "long-context analogue",
 BASELINE north star): one survey grid too large for a chip is row-sharded
 across the mesh ``graph`` axis. Featurization exchanges a 3-row halo of
 raw depth/valid once; each GNN layer then refreshes a 1-row halo of
-activations via ``lax.ppermute`` over ICI before its local shifted-window
-aggregation — the ring-neighbor-exchange analogue of sequence parallelism.
-BatchNorm moments are psum'd so results are bitwise-equivalent in
-structure to the single-chip path (verified by parity tests on a virtual
-mesh).
+activations via ``lax.ppermute`` over ICI — the ring-neighbor-exchange
+analogue of sequence parallelism. BatchNorm moments are psum'd so results
+are bitwise-equivalent in structure to the single-chip path (verified by
+parity tests on a virtual mesh).
+
+**Overlap (default)**: only the first and last local row of a shard
+depend on the halo, so each layer is decomposed as
+
+    launch ppermutes of the two boundary rows        (ICI, async)
+    aggregate the full local block                   (compute, no halo dep)
+    finish the 2 boundary rows from the landed halo  (two 3-row strip convs)
+
+The interior aggregation has no data dependency on the collectives, so
+XLA's latency-hiding scheduler runs the ppermutes concurrently with it on
+real hardware (collective-permute-start/done pairs); the per-layer ICI
+cost is hidden behind O(L·W) local work. Set ``overlap=False`` for the
+serial exchange-then-aggregate formulation (identical math).
 
 The reference has no distributed runtime at all (SURVEY §2.2); this module
 is new TPU-native capability.
@@ -32,6 +44,19 @@ from ..models.layers import (ClassificationHead, ConfidenceHead,
 GRAPH_AXIS = "graph"
 
 
+def halo_rows_split(x: jax.Array, halo: int,
+                    axis_name: str = GRAPH_AXIS):
+    """Fetch neighbor boundary rows: (from_above, from_below), each
+    [halo, ...]. Missing neighbors (global borders) contribute zeros
+    (masked out downstream by the validity halo)."""
+    n = jax.lax.axis_size(axis_name)
+    down_perm = [(i, i + 1) for i in range(n - 1)]  # send towards larger idx
+    up_perm = [(i + 1, i) for i in range(n - 1)]
+    from_above = jax.lax.ppermute(x[-halo:], axis_name, down_perm)
+    from_below = jax.lax.ppermute(x[:halo], axis_name, up_perm)
+    return from_above, from_below
+
+
 def exchange_halo_rows(x: jax.Array, halo: int,
                        axis_name: str = GRAPH_AXIS) -> jax.Array:
     """Extend local rows [L, ...] to [L+2*halo, ...] with neighbor rows.
@@ -40,11 +65,7 @@ def exchange_halo_rows(x: jax.Array, halo: int,
     first `halo` rows of d+1 below; missing neighbors contribute zeros
     (masked out downstream by the validity halo).
     """
-    n = jax.lax.axis_size(axis_name)
-    down_perm = [(i, i + 1) for i in range(n - 1)]  # send towards larger idx
-    up_perm = [(i + 1, i) for i in range(n - 1)]
-    from_above = jax.lax.ppermute(x[-halo:], axis_name, down_perm)
-    from_below = jax.lax.ppermute(x[:halo], axis_name, up_perm)
+    from_above, from_below = halo_rows_split(x, halo, axis_name)
     return jnp.concatenate([from_above, x, from_below], axis=0)
 
 
@@ -64,6 +85,9 @@ class HaloGridGNN(nn.Module):
     edge_dim: Optional[int] = 3
     connectivity: int = 8
     axis_name: str = GRAPH_AXIS
+    overlap: bool = True          # hide per-layer halo ICI behind compute
+    use_pallas: bool = False      # fused Pallas kernel for the interior block
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -113,18 +137,41 @@ class HaloGridGNN(nn.Module):
 
         for i in range(self.num_layers):
             last = i == self.num_layers - 1
-            if i > 0:
-                # refresh 1-row activation halo over ICI
-                x = exchange_halo_rows(x, 1, ax)
-            y = GridGATConv(
+            conv = GridGATConv(
                 out_channels=self.hidden_channels,
                 heads=self.heads if not last else 1,
                 concat=not last,
                 dropout=self.dropout,
                 edge_dim=self.edge_dim,
                 connectivity=self.connectivity,
-            )(x, valid1, nbr1, eattr1, deterministic)
-            y = y[1:-1]  # interior rows only
+                compute_dtype=self.compute_dtype,
+                use_pallas=self.use_pallas,
+            )
+            if i == 0:
+                # layer 0's 1-row halo is free (left over from the
+                # featurization exchange); x is [L+2, W, hid]
+                y = conv(x, valid1, nbr1, eattr1, deterministic)[1:-1]
+            elif self.overlap and x.shape[0] >= 2:
+                # --- overlapped halo refresh (module docstring) ---------
+                # 1) launch boundary-row ppermutes; 2) aggregate the full
+                # local block (rows 0 / L-1 use wrap garbage — discarded);
+                # 3) finish the two boundary rows from the landed halo via
+                # 3-row strip convs sharing this layer's parameters.
+                fa, fb = halo_rows_split(x, 1, ax)
+                y_loc = conv(x, valid1[1:-1], nbr1[:, 1:-1],
+                             eattr1[:, 1:-1], deterministic)
+                top = jnp.concatenate([fa, x[:2]], axis=0)
+                bot = jnp.concatenate([x[-2:], fb], axis=0)
+                y_top = conv(top, valid1[:3], nbr1[:, :3], eattr1[:, :3],
+                             deterministic)[1:2]
+                y_bot = conv(bot, valid1[-3:], nbr1[:, -3:], eattr1[:, -3:],
+                             deterministic)[1:2]
+                y = jnp.concatenate(
+                    [y_top, y_loc[1:-1], y_bot], axis=0)
+            else:
+                # serial: refresh 1-row activation halo, then aggregate
+                xh = exchange_halo_rows(x, 1, ax)
+                y = conv(xh, valid1, nbr1, eattr1, deterministic)[1:-1]
             width = self.hidden_channels * (self.heads if not last else 1)
             lw = y.shape[0] * y.shape[1]
             yf = MaskedBatchNorm(width, axis_name=ax)(

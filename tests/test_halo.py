@@ -69,6 +69,23 @@ class TestHaloParity:
             np.asarray(out_sharded["class_logits"]),
             np.asarray(out_single["class_logits"]), rtol=1e-3, atol=5e-4)
 
+    def test_overlap_matches_serial(self, models_and_vars):
+        """Overlapped halo formulation (interior conv concurrent with the
+        boundary-row ppermutes + strip-conv finish) must equal the serial
+        exchange-then-aggregate path."""
+        single, halo, variables = models_and_vars
+        depth, valid = setup_case()
+        mesh = make_mesh(8, graph_axis=8)
+        kw = dict(hidden_channels=16, num_layers=3, heads=2, dropout=0.0)
+        out_overlap = make_sharded_grid_forward(
+            HaloGridGNN(**kw, overlap=True), mesh)(variables, depth, valid)
+        out_serial = make_sharded_grid_forward(
+            HaloGridGNN(**kw, overlap=False), mesh)(variables, depth, valid)
+        for key in ("class_logits", "confidence", "correction"):
+            np.testing.assert_allclose(
+                np.asarray(out_overlap[key]), np.asarray(out_serial[key]),
+                rtol=1e-5, atol=1e-6, err_msg=key)
+
     def test_train_mode_batchnorm_global(self, models_and_vars):
         """psum'd BatchNorm moments == single-device batch moments."""
         single, halo, variables = models_and_vars
