@@ -48,6 +48,32 @@ def load_checkpoint_variables(checkpoint_dir) -> Tuple[Dict, Dict, Config, Dict]
     return restored["params"], restored.get("batch_stats", {}), cfg, meta
 
 
+def _pack_channels(out: Dict, corr) -> jax.Array:
+    """Pack (classification, confidence, correction) into ONE f16 array
+    ([3, H, W] / [3, B, H, W]) so each batch costs a single device->host
+    fetch. Tunneled TPU links pay ~25 ms fixed latency per fetch plus
+    ~18 ms/MB, so one packed f16 fetch beats three f32 fetches ~3x.
+    Classification values {0, 1, 2} are exact in f16; f16 correction
+    rel-err (~1e-3 of the correction VALUE, not the depth) is far below
+    hydrographic uncertainty."""
+    corr = (corr if corr is not None
+            else jnp.zeros_like(out["confidence"]))
+    return jnp.stack([
+        out["predicted_class"].astype(jnp.float16),
+        out["confidence"].astype(jnp.float16),
+        corr.astype(jnp.float16),
+    ])
+
+
+def _unpack_channels(arr: "np.ndarray") -> Dict[str, "np.ndarray"]:
+    """Host-side inverse of _pack_channels for one tile."""
+    return {
+        "classification": arr[0].astype(np.float32),
+        "confidence": arr[1].astype(np.float32),
+        "correction": arr[2].astype(np.float32),
+    }
+
+
 def infer_in_channels(params: Dict) -> int:
     """First extractor Linear input width (reference probes the first
     torch Linear the same way — scripts/inference_native.py:147)."""
@@ -59,10 +85,11 @@ class BathymetricPipeline:
     """Load model -> tile -> dense-grid forward -> stitch -> write."""
 
     def __init__(self, config: Optional[Config] = None,
-                 vr_bag_mode: str = "resampled", tile_batch: int = 4):
+                 vr_bag_mode: str = "resampled", tile_batch: int = 8):
         self.config = config or Config()
         self.loader = BathymetricLoader(vr_bag_mode)
-        self.writer = BathymetricWriter()
+        self.writer = BathymetricWriter(compress_level=1)  # write speed
+        # is on the survey wall-clock path; level 1 is ~3x faster
         t = self.config.tile
         self.tm = TileManager(t.tile_size, t.overlap, t.min_valid_ratio)
         self.tile_batch = max(1, tile_batch)
@@ -135,12 +162,7 @@ class BathymetricPipeline:
             corr = out.get("correction")
             if corr is not None:
                 corr = corr * jnp.maximum(local_std, CORRECTION_NORM_FLOOR)
-            return {
-                "classification": out["predicted_class"].astype(jnp.float32),
-                "confidence": out["confidence"],
-                "correction": corr if corr is not None else
-                jnp.zeros_like(out["confidence"]),
-            }
+            return _pack_channels(out, corr)
 
         self._forward = forward
 
@@ -169,12 +191,7 @@ class BathymetricPipeline:
             corr = out.get("correction")
             if corr is not None:
                 corr = corr * jnp.maximum(local_std, CORRECTION_NORM_FLOOR)
-            return {
-                "classification": out["predicted_class"].astype(jnp.float32),
-                "confidence": out["confidence"],
-                "correction": corr if corr is not None else
-                jnp.zeros_like(out["confidence"]),
-            }
+            return _pack_channels(out, corr)
 
         self._forward_batch = forward_batch
 
@@ -208,11 +225,10 @@ class BathymetricPipeline:
             nonlocal n_tiles
             while inflight and (force or len(inflight) > MAX_INFLIGHT):
                 tiles, res = inflight.pop(0)
-                res_np = {k: np.asarray(v) for k, v in res.items()}
+                arr = np.asarray(res)  # ONE fetch: [3, H, W] / [3, B, H, W]
                 for bi, t in enumerate(tiles):
-                    one = ({k: v[bi] for k, v in res_np.items()}
-                           if res_np["confidence"].ndim == 3
-                           else res_np)
+                    one = _unpack_channels(
+                        arr[:, bi] if arr.ndim == 4 else arr)
                     merger.add_tile(t.spec, one, tile_valid=t.valid_mask)
                     n_tiles += 1
                 if n_tiles and n_tiles % 50 < len(tiles):

@@ -463,9 +463,13 @@ def write_geotiff(
     nodata: Optional[float] = None,
     crs_wkt: Optional[str] = None,
     compress: bool = True,
+    compress_level: int = 6,
     band_descriptions: Optional[Sequence[str]] = None,
 ):
-    """Write [B, H, W] float32/uint8 as a planar strip GeoTIFF."""
+    """Write [B, H, W] float32/uint8 as a planar strip GeoTIFF.
+
+    ``compress_level`` is the zlib level (1 = fastest, ~3-4x quicker than
+    the default 6 on smooth rasters at a modest size cost)."""
     bands = np.asarray(bands)
     if bands.ndim == 2:
         bands = bands[None]
@@ -485,12 +489,25 @@ def write_geotiff(
         dtype, bits, sfmt = np.dtype(np.float32), 32, 3
 
     rows_per_strip = max(1, min(h, (1 << 20) // max(1, w * dtype.itemsize)))
-    strips = []
-    for bi in range(b):
-        for r0 in range(0, h, rows_per_strip):
-            chunk = np.ascontiguousarray(
-                bands[bi, r0:r0 + rows_per_strip]).tobytes()
-            strips.append(zlib.compress(chunk, 6) if compress else chunk)
+    chunks = [
+        np.ascontiguousarray(bands[bi, r0:r0 + rows_per_strip]).tobytes()
+        for bi in range(b) for r0 in range(0, h, rows_per_strip)
+    ]
+    if compress:
+        # zlib releases the GIL on large buffers -> strip compression
+        # parallelizes near-linearly across host cores
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        lvl = compress_level
+        workers = min(len(chunks), os.cpu_count() or 1, 16)
+        if workers > 1:
+            with ThreadPoolExecutor(workers) as ex:
+                strips = list(ex.map(lambda c: zlib.compress(c, lvl), chunks))
+        else:
+            strips = [zlib.compress(c, lvl) for c in chunks]
+    else:
+        strips = chunks
 
     entries: List[Tuple[int, int, int, bytes]] = []
 

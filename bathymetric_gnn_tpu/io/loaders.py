@@ -211,7 +211,13 @@ def _is_float(s: str) -> bool:
 
 
 class BathymetricWriter:
-    """Multi-format writer (reference: data/loaders.py:478-823)."""
+    """Multi-format writer (reference: data/loaders.py:478-823).
+
+    ``compress_level``: zlib level for GeoTIFF output (1 = fastest; the
+    inference pipeline uses 1 — writes are on the wall-clock path)."""
+
+    def __init__(self, compress_level: int = 6):
+        self.compress_level = compress_level
 
     def save(
         self,
@@ -247,6 +253,7 @@ class BathymetricWriter:
             origin=(gt[0], gt[3]) if gt else None,
             nodata=grid.nodata if grid.nodata is not None else np.nan,
             crs_wkt=grid.crs, band_descriptions=names,
+            compress_level=self.compress_level,
         )
 
     def _save_bag(self, grid, path, extra_bands, source_bag):
@@ -295,6 +302,7 @@ class BathymetricWriter:
             origin=(gt[0], gt[3]) if gt else None,
             nodata=-1.0, crs_wkt=grid.crs,
             band_descriptions=list(extra_bands.keys()),
+            compress_level=self.compress_level,
         )
 
     def _save_ascii(self, grid, path):
