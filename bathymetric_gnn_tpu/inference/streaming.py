@@ -24,7 +24,7 @@ from ..config.config import Config
 from ..config.constants import CLASS_NOISE, CLASS_SEAFLOOR
 from ..data.tiling import TileManager
 from ..io.geotiff import GeoTiffWindowReader, StreamingGeoTiffWriter
-from .pipeline import BathymetricPipeline
+from .pipeline import BathymetricPipeline, _unpack_channels
 
 logger = logging.getLogger(__name__)
 
@@ -253,10 +253,9 @@ class StreamingPipeline(BathymetricPipeline):
                 res = self._forward_batch(variables, depth_b, valid_b, unc_b,
                                           resolution=resolution,
                                           with_unc=has_unc)
-                res_np = {k: np.asarray(v) for k, v in res.items()}
+                arr = np.asarray(res)  # packed [3, B, H, W] (one fetch)
                 for bi, spec in enumerate(batch_specs):
-                    merger.add_tile(spec,
-                                    {k: v[bi] for k, v in res_np.items()},
+                    merger.add_tile(spec, _unpack_channels(arr[:, bi]),
                                     tile_valid=batch[bi][1])
                 stats["tiles_processed"] += len(batch)
                 batch.clear()
@@ -281,8 +280,7 @@ class StreamingPipeline(BathymetricPipeline):
                         variables, jnp.asarray(td), jnp.asarray(tv),
                         jnp.asarray(tu) if tu is not None else None,
                         resolution=resolution, with_unc=has_unc)
-                    merger.add_tile(spec, {k: np.asarray(v)
-                                           for k, v in res.items()},
+                    merger.add_tile(spec, _unpack_channels(np.asarray(res)),
                                     tile_valid=tv)
                     stats["tiles_processed"] += 1
             flush_batch()
