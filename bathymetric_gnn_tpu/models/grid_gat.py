@@ -219,8 +219,8 @@ class GridGATConv(nn.Module):
                        else jnp.zeros(hds * c))
         args = (x, w_lin, a_src, a_dst, m_edge, edge_attr,
                 nbr_mask.astype(jnp.float32), valid.astype(jnp.float32),
-                kernel_bias, self.connectivity, self.negative_slope, True, 8,
-                None)
+                kernel_bias, self.connectivity, self.negative_slope, True,
+                16, None)
         cd = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
               else jnp.float32)
         if bn_scale is not None and direct:

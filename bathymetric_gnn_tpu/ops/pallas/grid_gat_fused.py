@@ -19,7 +19,14 @@ The layer is HBM-bandwidth-bound, so the design minimizes traffic:
   * per-edge logit contributions (eattr @ M_edge, incl. the self-loop's
     mean-edge-attr term) are precomputed by XLA outside the kernel and
     pre-masked to NEG on missing neighbors, removing 9 tiny matmuls and
-    all mask traffic from the kernel.
+    all mask traffic from the kernel. They are laid out heads-MAJOR
+    ([K, heads, H, W]) so W stays the minor dim: a trailing heads=4 dim
+    tile-pads 4 lanes to 128 (32x physical HBM inflation; measured ~9x
+    slower to produce and stream).
+  * all attention/softmax math runs on per-(offset, head) 2-D [R, W]
+    arrays (minor dim W = full lane utilization); the per-head attention
+    dots come from one small transpose of the [rows, 2*heads] matmul
+    output.
 
 Math is identical to models/grid_gat.GridGATConv (PyG-exact, SURVEY Q3)
 and is verified against it by parity tests. (On real TPUs the XLA path
@@ -61,8 +68,8 @@ def _kernel(
     halo_bot,     # [1, 1, W, F] block — grid row i*R + R (zeros at end)
     w_lin,        # [F, HC] VMEM
     wa_cat,       # [F, 2*heads] VMEM  (W @ [a_src | a_dst])
-    el,           # [K, R, W, heads] block — premasked edge logits
-    el_self,      # [R, W, heads] block — self-loop edge logit term
+    el,           # [K, heads, R, W] block — premasked edge logits
+    el_self,      # [heads, R, W] block — self-loop edge logit term
     valid,        # [R, W] float block
     bias,         # [1, HC]
     bn_scale,     # [1, HC] fused BatchNorm scale*rsqrt(var+eps) (or ones)
@@ -77,62 +84,88 @@ def _kernel(
     negative_slope: float,
     fuse_bn: bool,
     fuse_relu: bool,
+    upcast_dots: bool = False,
 ):
     HC = heads * C
+    nk = len(offsets)
     # halo-extended block: row r of xe is grid row i*R + r - 1
     # (inputs may be bf16 — MXU-native; accumulation stays f32)
     xe = jnp.concatenate([halo_top[0], x_blk[0], halo_bot[0]], axis=0)
     xe = xe.reshape((R + 2) * W, xe.shape[-1])
-    xh_e = jnp.dot(xe, w_lin[:], preferred_element_type=jnp.float32)
-    ad = jnp.dot(xe, wa_cat[:], preferred_element_type=jnp.float32)
-    ad = ad.reshape(R + 2, W, 2 * heads)
+    if upcast_dots:
+        # interpret mode (CPU): the XLA CPU DotThunk can't execute bf16
+        # dots with f32 accumulation; upcasting reproduces the TPU MXU's
+        # bf16-inputs/f32-accumulate semantics exactly.
+        xe = xe.astype(jnp.float32)
+        w_mat, wa_mat = w_lin[:].astype(jnp.float32), wa_cat[:].astype(
+            jnp.float32)
+    else:
+        w_mat, wa_mat = w_lin[:], wa_cat[:]
+    xh_e = jnp.dot(xe, w_mat, preferred_element_type=jnp.float32)
+    ad = jnp.dot(xe, wa_mat, preferred_element_type=jnp.float32)
     xh_e = xh_e.reshape(R + 2, W, HC)
 
-    a_src_e = ad[:, :, :heads]
-    a_dst_i = ad[1:R + 1, :, heads:2 * heads]
-    a_src_i = a_src_e[1:R + 1]
+    # attention dots per head as lane-clean [R(+2), W] 2-D arrays: one small
+    # transpose of the [(R+2)W, 2*heads] matmul output, then major-dim
+    # slices. Everything downstream (logits, softmax) runs on 2-D arrays
+    # whose minor dim is W — full lane utilization instead of a padded
+    # heads-minor layout.
+    adT = ad.T.reshape(2 * heads, R + 2, W)
     elb = el[:].astype(jnp.float32)
+    els = el_self[:].astype(jnp.float32)
 
-    # per-offset logits; missing neighbors arrive premasked at ~NEG via el
-    # (LeakyReLU keeps them at 0.2*NEG, which exp() flushes to exactly 0)
-    logits = []
-    for k, (dr, dc) in enumerate(offsets):
-        a_n = a_src_e[1 + dr:1 + dr + R]
-        a_n = pltpu.roll(a_n, (-dc) % W, 1)  # pltpu.roll needs shift >= 0
-        lg = a_n + a_dst_i + elb[k]
-        lg = jnp.where(lg >= 0, lg, negative_slope * lg)
-        logits.append(lg)
+    def leaky(v):
+        return jnp.where(v >= 0, v, negative_slope * v)
 
-    self_lg = a_src_i + a_dst_i + el_self[:].astype(jnp.float32)
-    self_lg = jnp.where(self_lg >= 0, self_lg, negative_slope * self_lg)
+    # per (offset, head) logits; missing neighbors arrive premasked at ~NEG
+    # via el (LeakyReLU keeps them at 0.2*NEG, which exp() flushes to 0)
+    wts = [[None] * heads for _ in range(nk)]   # softmax weights [R, W]
+    w_self = [None] * heads
+    for h in range(heads):
+        a_src_h = adT[h]                        # [R+2, W]
+        a_dst_h = adT[heads + h][1:R + 1]       # [R, W]
+        self_lg = leaky(a_src_h[1:R + 1] + a_dst_h + els[h])
+        lgs = []
+        m = self_lg
+        for k, (dr, dc) in enumerate(offsets):
+            a_n = a_src_h[1 + dr:1 + dr + R]
+            a_n = pltpu.roll(a_n, (-dc) % W, 1)  # pltpu.roll: shift >= 0
+            lg = leaky(a_n + a_dst_h + elb[k, h])
+            lgs.append(lg)
+            m = jnp.maximum(m, lg)
+        e_self = jnp.exp(self_lg - m)
+        denom = e_self
+        exps = []
+        for lg in lgs:
+            e = jnp.exp(lg - m)
+            exps.append(e)
+            denom = denom + e
+        inv = 1.0 / jnp.maximum(denom, 1e-16)
+        w_self[h] = e_self * inv
+        for k in range(nk):
+            wts[k][h] = exps[k] * inv
 
-    # stable softmax over offsets + self
-    m = self_lg
-    for lg in logits:
-        m = jnp.maximum(m, lg)
-    denom = jnp.exp(self_lg - m)
-    for lg in logits:
-        denom = denom + jnp.exp(lg - m)
-    denom = jnp.maximum(denom, 1e-16)
-
-    # head expansion [R, W, heads] -> [R, W, HC] as a tiny MXU matmul with
-    # a constant one-hot matrix (jnp.repeat's 4D reshape is unsupported by
-    # Mosaic's layout inference)
+    # head expansion: list of heads x [R, W] -> [R, W, HC] as one MXU
+    # matmul per offset with a constant one-hot matrix, fed heads-major:
+    # stack on axis 0 + major-collapse reshape are layout no-ops, and the
+    # TN dot_general contracts the heads axis directly. (Broadcast+concat
+    # and jnp.stack(axis=-1) both force W-lanes->sublanes relayouts that
+    # measure 3x slower end to end.)
     head_of_col = jax.lax.broadcasted_iota(jnp.int32, (heads, HC), 1) // C
     head_row = jax.lax.broadcasted_iota(jnp.int32, (heads, HC), 0)
     expand_mat = (head_of_col == head_row).astype(jnp.float32)
 
-    def expand_heads(wts):  # [R, W, heads] -> [R, W, HC]
-        return jnp.dot(wts.reshape(R * W, heads), expand_mat,
-                       preferred_element_type=jnp.float32
-                       ).reshape(R, W, HC)
+    def expand_heads(per_head):
+        ws_t = jnp.stack(per_head, axis=0).reshape(heads, R * W)
+        return jax.lax.dot_general(
+            ws_t, expand_mat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(R, W, HC)
 
-    inv = 1.0 / denom
-    acc = xh_e[1:R + 1] * expand_heads(jnp.exp(self_lg - m) * inv)
+    acc = xh_e[1:R + 1] * expand_heads(w_self)
     for k, (dr, dc) in enumerate(offsets):
         xn = xh_e[1 + dr:1 + dr + R]
         xn = pltpu.roll(xn, (-dc) % W, 1)
-        acc = acc + xn * expand_heads(jnp.exp(logits[k] - m) * inv)
+        acc = acc + xn * expand_heads(wts[k])
 
     acc = acc + bias[:].reshape(1, 1, HC)
     if fuse_bn:
@@ -238,10 +271,14 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
     hc = w_lin.shape[1]
     c = hc // heads
     k = len(offsets)
+    # downgrade the row-block size rather than falling back outright: the
+    # fused kernel needs hgt to tile exactly with at least two blocks
     r = block_rows
+    while r > 8 and (hgt % r != 0 or hgt < 2 * r):
+        r //= 2
     fuse_bn = bn_scale is not None
     lowp = compute_dtype != jnp.float32
-    if hgt % r != 0 or hgt < 2 * r:
+    if hgt % r != 0 or hgt < 2 * r:  # ragged/small tiles: XLA formulation
         # fall back to the XLA formulation for odd shapes; in low precision,
         # emulate the kernel's rounding (bf16 inputs, f32 accumulation)
         if lowp:
@@ -260,15 +297,24 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
         return out.astype(compute_dtype)
 
     # --- XLA-side precompute (tiny vs the kernel body, fused by XLA) ---
-    nbm = nbr_mask[..., None] > 0
+    # el layouts are heads-MAJOR [K, heads, H, W] / [heads, H, W]: W stays
+    # the minor dim, so the HBM arrays are lane-clean. The trailing-heads
+    # layout tile-pads 4 lanes to 128 (32x physical inflation) and measures
+    # ~9x slower to produce and stream (benchmarks/RESULTS.md).
+    nbm4 = nbr_mask[:, None] > 0                          # [K, 1, H, W]
     if use_edge:
-        el = jnp.where(nbm, eattr @ m_edge, NEG)          # [K, H, W, heads]
+        ea32 = eattr.astype(jnp.float32)
+        me32 = m_edge.astype(jnp.float32)
+        el = jnp.einsum("khwf,fa->kahw", ea32, me32)      # [K, heads, H, W]
+        el = jnp.where(nbm4, el, NEG)
         cnt = jnp.maximum(jnp.sum(nbr_mask, 0), 1.0)[..., None]
-        mean_attr = jnp.sum(jnp.where(nbm, eattr, 0.0), 0) / cnt
-        el_self = mean_attr @ m_edge                      # [H, W, heads]
+        mean_attr = jnp.sum(
+            jnp.where(nbr_mask[..., None] > 0, ea32, 0.0), 0) / cnt
+        el_self = jnp.einsum("hwf,fa->ahw", mean_attr,
+                             me32)                        # [heads, H, W]
     else:
-        el = jnp.where(nbm, 0.0, NEG) * jnp.ones((1, 1, 1, heads))
-        el_self = jnp.zeros((hgt, wid, heads), jnp.float32)
+        el = jnp.where(nbm4, 0.0, NEG) * jnp.ones((1, heads, 1, 1))
+        el_self = jnp.zeros((heads, hgt, wid), jnp.float32)
     wa_cat = jnp.concatenate(
         [w_lin @ a_src_mat, w_lin @ a_dst_mat], axis=1)   # [F, 2*heads]
 
@@ -284,12 +330,13 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
         nb, 1, wid, f_in)
     halo_bot = jnp.concatenate([x[r::r], z], 0).reshape(nb, 1, wid, f_in)
 
+    if interpret is None:
+        interpret = _interpret_default()
     kern = functools.partial(
         _kernel, offsets=offsets, R=r, W=wid, heads=heads, C=c,
         negative_slope=negative_slope, fuse_bn=fuse_bn, fuse_relu=fuse_relu,
+        upcast_dots=bool(interpret) and lowp,
     )
-    if interpret is None:
-        interpret = _interpret_default()
     sc2 = (bn_scale if fuse_bn else jnp.ones(hc)).reshape(1, hc)
     bi2 = (bn_bias if fuse_bn else jnp.zeros(hc)).reshape(1, hc)
     return pl.pallas_call(
@@ -304,9 +351,9 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, r, wid, heads), lambda i: (0, i, 0, 0),
+            pl.BlockSpec((k, heads, r, wid), lambda i: (0, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, wid, heads), lambda i: (i, 0, 0),
+            pl.BlockSpec((heads, r, wid), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r, wid), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
