@@ -166,6 +166,9 @@ def _kernel(
         xn = xh_e[1 + dr:1 + dr + R]
         xn = pltpu.roll(xn, (-dc) % W, 1)
         acc = acc + xn * expand_heads(wts[k])
+        # (factoring the column rolls into 2 shared full-height rolled
+        # copies measures ~7% SLOWER end to end — per-offset row-sliced
+        # rolls pipeline better)
 
     acc = acc + bias[:].reshape(1, 1, HC)
     if fuse_bn:
