@@ -104,7 +104,7 @@ def main(argv=None):
                 pending_grids = []
             if stats["grids"] and stats["grids"] % 100 == 0:
                 logger.info("processed %d grids", stats["grids"])
-        for out in proc.flush_batch():
+        for out in proc.drain():
             apply_results(out["context"], out)
     finally:
         writer.close()

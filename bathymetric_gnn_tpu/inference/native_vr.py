@@ -30,7 +30,18 @@ logger = logging.getLogger(__name__)
 
 
 class NativeVRProcessor:
-    """Batches refinement grids into single sparse forward passes."""
+    """Batches refinement grids into single sparse forward passes.
+
+    Two build paths feed the same ELL forward pass:
+
+    - **slab** (default, grids up to ``slab_size``): all pending grids are
+      padded into one static [B, S, S] slab and featurization + edge
+      extraction + compaction run as ONE jitted program
+      (data/slab_build.py). One compile per (B bucket, node bucket);
+      essential because VR refinements span ~2300 distinct shapes.
+    - **per-grid** (grids larger than the slab, e.g. whole SR surfaces):
+      the per-shape device builder, one compile per shape bucket.
+    """
 
     def __init__(
         self,
@@ -40,11 +51,22 @@ class NativeVRProcessor:
         node_budget: int = 50000,
         node_buckets: Tuple[int, ...] = (1024, 4096, 16384, 65536, 131072),
         use_ell: bool = True,
+        use_slab: bool = True,
+        slab_size: int = 56,
+        slab_batch_buckets: Tuple[int, ...] = (8, 32, 128, 512, 2048),
     ):
         self.model = model
         self.variables = variables
         self.config = config or Config()
         self.use_ell = use_ell
+        cfg = config or Config()
+        # the slab ELL has exactly `connectivity` incoming slots; explicit
+        # self-loop edges would need one more (GAT's internal self-loop is
+        # handled inside the conv, not as an edge slot)
+        self.use_slab = (use_slab and use_ell
+                         and not cfg.graph.include_self_loops)
+        self.slab_size = slab_size
+        self.slab_batch_buckets = slab_batch_buckets
         if use_ell:
             # gather-only sparse path; same param tree as the COO model
             from ..models.gnn_ell import EllBathymetricGNN
@@ -67,6 +89,11 @@ class NativeVRProcessor:
         )
         self.pending: List[Dict] = []
         self.pending_nodes = 0
+        # launched-but-unfetched flush generations (device arrays); a
+        # window of 1 overlaps the host fetch/un-batch of generation k
+        # with the device build+forward of k+1
+        self._inflight: List[List[Tuple[List[int], List[Dict], object]]] = []
+        self.inflight_window = 1
         self._forward = self._make_forward()
 
     def _make_forward(self):
@@ -79,20 +106,49 @@ class NativeVRProcessor:
             if corr is not None:
                 corr = corr * jnp.maximum(graph.local_std,
                                           CORRECTION_NORM_FLOOR)
-            return {
-                "classification": out["predicted_class"].astype(jnp.int32),
-                "confidence": out["confidence"],
-                "correction": corr if corr is not None
-                else jnp.zeros_like(out["confidence"]),
-            }
+            else:
+                corr = jnp.zeros_like(out["confidence"])
+            # one packed f16 fetch per flush: class labels {0,1,2} are
+            # exact in f16; confidence/correction lose <=1 ulp (~5e-4
+            # relative), well under the 0.85/0.6 threshold granularity
+            return jnp.stack(
+                [out["predicted_class"].astype(jnp.float16),
+                 out["confidence"].astype(jnp.float16),
+                 corr.astype(jnp.float16)], axis=-1)
 
         return forward
+
+    @staticmethod
+    def _unpack_forward(packed: np.ndarray) -> Dict[str, np.ndarray]:
+        packed = np.asarray(packed)
+        return {
+            "classification": packed[:, 0].astype(np.int32),
+            "confidence": packed[:, 1].astype(np.float32),
+            "correction": packed[:, 2].astype(np.float32),
+        }
 
     # -- batching (reference: scripts/inference_native.py:249-342) ---------
 
     def add_to_batch(self, depth: np.ndarray, uncertainty: np.ndarray,
                      resolution: Tuple[float, float], context=None) -> None:
         valid = np.isfinite(depth) & (np.abs(depth) < 1.0e5)
+        h, w = depth.shape
+        if (self.use_slab and h <= self.slab_size and w <= self.slab_size
+                and min(h, w) >= 2):
+            # defer all device work to flush_batch (slab path)
+            self.pending.append({
+                "kind": "slab",
+                "depth": np.asarray(depth, np.float32),
+                "valid": valid,
+                "uncertainty": np.asarray(uncertainty, np.float32)
+                if (uncertainty is not None and self.in_channels >= 8)
+                else None,
+                "resolution": (float(resolution[0]), float(resolution[1])),
+                "shape": depth.shape, "context": context,
+                "num_nodes": int(valid.sum()),
+            })
+            self.pending_nodes += int(valid.sum())
+            return
         bg = self.builder.build_graph(
             np.where(valid, depth, np.nan), valid,
             uncertainty if self.in_channels >= 8 else None, resolution,
@@ -100,6 +156,7 @@ class NativeVRProcessor:
         g = bg.graph
         n = bg.num_nodes
         self.pending.append({
+            "kind": "graph",
             "x": np.asarray(g.x)[:n],
             "edge_index": np.stack([np.asarray(g.edge_src),
                                     np.asarray(g.edge_dst)])[:,
@@ -115,48 +172,148 @@ class NativeVRProcessor:
         return self.pending_nodes >= self.node_budget
 
     def flush_batch(self) -> List[Dict]:
-        """One forward pass over all pending graphs; returns per-grid
-        result dicts with dense 2-D output grids."""
-        if not self.pending:
-            return []
-        n_total = self.pending_nodes
-        n_pad = round_up_to_bucket(n_total, self.node_buckets)
+        """Launch one forward generation over all pending graphs; returns
+        finished generations' per-grid result dicts (one generation stays
+        in flight so device compute overlaps host fetch/un-batch — call
+        :meth:`drain` at end-of-stream for the rest)."""
+        if self.pending:
+            gen = []
+            slab_idx = [i for i, p in enumerate(self.pending)
+                        if p["kind"] == "slab"]
+            graph_idx = [i for i, p in enumerate(self.pending)
+                         if p["kind"] == "graph"]
+            if slab_idx:
+                self._launch_slab(slab_idx, gen)
+            if graph_idx:
+                self._launch_graphs(graph_idx, gen)
+            self._inflight.append(gen)
+            self.pending = []
+            self.pending_nodes = 0
+        results: List[Dict] = []
+        while len(self._inflight) > self.inflight_window:
+            results.extend(self._resolve_generation(self._inflight.pop(0)))
+        return results
+
+    def drain(self) -> List[Dict]:
+        """Flush remaining pending grids and resolve ALL in-flight work."""
+        results = self.flush_batch()
+        while self._inflight:
+            results.extend(self._resolve_generation(self._inflight.pop(0)))
+        return results
+
+    def _resolve_generation(self, gen) -> List[Dict]:
+        per_idx = {}
+        for kind, idxs, entries, dev in gen:
+            out = self._unpack_forward(dev)
+            offset = 0
+            for i, p in zip(idxs, entries):
+                if kind == "slab":
+                    n = p["num_nodes"]
+                    rows, cols = np.nonzero(p["valid"])
+                else:
+                    n = len(p["rows"])
+                    rows, cols = p["rows"], p["cols"]
+                per_idx[i] = self._to_grids(
+                    p, out, slice(offset, offset + n), rows, cols)
+                offset += n
+        return [per_idx[i] for i in sorted(per_idx)]
+
+    @staticmethod
+    def _to_grids(p: Dict, out: Dict, sl: slice, rows, cols) -> Dict:
+        grids = {}
+        for ch in ("classification", "confidence", "correction"):
+            arr = np.full(p["shape"], np.nan, np.float32)
+            arr[rows, cols] = out[ch][sl]
+            grids[ch] = arr
+        grids["classification"] = np.nan_to_num(
+            grids["classification"], nan=-1).astype(np.int64)
+        grids["confidence"] = np.nan_to_num(grids["confidence"])
+        grids["correction"] = np.nan_to_num(grids["correction"])
+        grids["context"] = p["context"]
+        return grids
+
+    def _launch_slab(self, idx: List[int], gen: List) -> None:
+        """Small grids in slabs -> device build + forward launches,
+        chunked so no slab exceeds the largest node bucket."""
+        cap = self.node_buckets[-1]
+        chunk, chunk_nodes = [], 0
+        for i in idx:
+            n = self.pending[i]["num_nodes"]
+            if chunk and chunk_nodes + n > cap:
+                gen.append(self._launch_slab_chunk(chunk))
+                chunk, chunk_nodes = [], 0
+            chunk.append(i)
+            chunk_nodes += n
+        if chunk:
+            gen.append(self._launch_slab_chunk(chunk))
+
+    def _launch_slab_chunk(self, idx: List[int]):
+        """All small grids in one slab -> one device build + forward
+        (returns the un-fetched packed device output)."""
+        from ..data.slab_build import build_slab_ell, pack_slab
+
+        entries = [self.pending[i] for i in idx]
+        with_unc = self.in_channels >= 8
+        b_pad = round_up_to_bucket(len(entries), self.slab_batch_buckets)
+        n_total = sum(p["num_nodes"] for p in entries)
+        n_pad = round_up_to_bucket(max(n_total, 1), self.node_buckets)
+        depth, _, unc, hs, ws, res = pack_slab(
+            [(p["depth"], p["valid"], p["uncertainty"], p["resolution"])
+             for p in entries],
+            self.slab_size, b_pad, with_unc, implicit_valid=True,
+        )
+        g, _, _, _ = build_slab_ell(
+            jnp.asarray(depth), None,
+            jnp.asarray(unc) if with_unc else None,
+            jnp.asarray(hs), jnp.asarray(ws), jnp.asarray(res),
+            connectivity=self.config.graph.connectivity,
+            n_pad=n_pad, with_uncertainty=with_unc,
+            stats_window=self.config.graph.local_stats_window,
+        )
+        dev = self._forward(self.variables, g)
+        logger.debug("slab-launched %d grids (%d nodes, B=%d, bucket %d)",
+                     len(entries), n_total, b_pad, n_pad)
+        return ("slab", idx, entries, dev)
+
+    def _launch_graphs(self, idx: List[int], gen: List) -> None:
+        """Per-grid-built (large) graphs, chunked to the largest bucket."""
+        cap = self.node_buckets[-1]
+        chunk, chunk_nodes = [], 0
+        for i in idx:
+            n = len(self.pending[i]["rows"])
+            if chunk and chunk_nodes + n > cap:
+                gen.append(self._launch_graphs_chunk(chunk))
+                chunk, chunk_nodes = [], 0
+            chunk.append(i)
+            chunk_nodes += n
+        if chunk:
+            gen.append(self._launch_graphs_chunk(chunk))
+
+    def _launch_graphs_chunk(self, idx: List[int]):
+        """Host concat + one forward launch."""
+        entries = [self.pending[i] for i in idx]
+        n_total = sum(len(p["rows"]) for p in entries)
+        if n_total > self.node_buckets[-1]:
+            # single oversized graph: one-off power-of-two bucket
+            n_pad = 1 << (n_total - 1).bit_length()
+        else:
+            n_pad = round_up_to_bucket(n_total, self.node_buckets)
         e_pad = n_pad * (self.config.graph.connectivity + 1)
         graph, counts = batch_graphs(
-            [(p["x"], p["edge_index"], p["edge_attr"]) for p in self.pending],
+            [(p["x"], p["edge_index"], p["edge_attr"]) for p in entries],
             n_pad=n_pad, e_pad=e_pad,
-            local_std_list=[p["local_std"] for p in self.pending],
+            local_std_list=[p["local_std"] for p in entries],
         )
         if self.use_ell:
             graph = coo_to_ell(
                 graph, max_degree=self.config.graph.connectivity)
-        out = self._forward(self.variables, graph)
-        out = {k: np.asarray(v) for k, v in out.items()}
-
-        results = []
-        offset = 0
-        for p, n in zip(self.pending, counts):
-            sl = slice(offset, offset + int(n))
-            grids = {}
-            for ch in ("classification", "confidence", "correction"):
-                arr = np.full(p["shape"], np.nan, np.float32)
-                arr[p["rows"], p["cols"]] = out[ch][sl]
-                grids[ch] = arr
-            grids["classification"] = np.nan_to_num(
-                grids["classification"], nan=-1).astype(np.int64)
-            grids["confidence"] = np.nan_to_num(grids["confidence"])
-            grids["correction"] = np.nan_to_num(grids["correction"])
-            grids["context"] = p["context"]
-            results.append(grids)
-            offset += int(n)
-        logger.debug("flushed %d graphs (%d nodes, bucket %d)",
-                     len(results), n_total, n_pad)
-        self.pending = []
-        self.pending_nodes = 0
-        return results
+        dev = self._forward(self.variables, graph)
+        logger.debug("launched %d graphs (%d nodes, bucket %d)",
+                     len(entries), n_total, n_pad)
+        return ("graph", idx, entries, dev)
 
     def process_grid(self, depth, uncertainty, resolution) -> Dict:
         """Single-grid convenience path
         (reference: scripts/inference_native.py:206-247)."""
         self.add_to_batch(depth, uncertainty, resolution)
-        return self.flush_batch()[0]
+        return self.drain()[-1]

@@ -116,7 +116,7 @@ class TestNativeVR:
         # batched
         for d in grids:
             proc.add_to_batch(d, np.zeros_like(d), (1.0, 1.0))
-        batched = proc.flush_batch()
+        batched = proc.drain()
         # individual
         singles = [proc.process_grid(d, np.zeros_like(d), (1.0, 1.0))
                    for d in grids]
@@ -124,12 +124,14 @@ class TestNativeVR:
             valid = np.isfinite(d)
             np.testing.assert_array_equal(b["classification"][valid],
                                           s["classification"][valid])
+            # outputs travel as packed f16 (one fetch per flush): allow
+            # +-1 ulp on top of padding-dependent float-sum differences
             np.testing.assert_allclose(b["confidence"][valid],
                                        s["confidence"][valid],
-                                       rtol=1e-3, atol=1e-4)
+                                       rtol=2e-3, atol=1e-3)
             np.testing.assert_allclose(b["correction"][valid],
                                        s["correction"][valid],
-                                       rtol=2e-3, atol=1e-3)
+                                       rtol=4e-3, atol=4e-3)
             assert (b["classification"][~valid] == -1).all()
 
     def test_node_budget_trigger(self, trained_vars):
