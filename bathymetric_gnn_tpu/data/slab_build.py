@@ -91,6 +91,74 @@ def _boundary_fixups(
                 .at[..., 5].set(gmag).at[..., 6].set(curv)
 
 
+def _slab_features(depth, valid, uncertainty, hs, ws, stats_window,
+                   with_uncertainty):
+    """Shared slab featurization: per-grid features with true-boundary
+    fixups. Derives the valid mask from NODATA depth when not given."""
+    B, S, _ = depth.shape
+    if valid is None:
+        # BAG NODATA convention (reference: data/vr_bag.py:108) + frame
+        rr = jax.lax.broadcasted_iota(jnp.int32, (B, S, S), 1)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (B, S, S), 2)
+        valid = (jnp.isfinite(depth) & (jnp.abs(depth) < 1.0e5)
+                 & (rr < hs.reshape(B, 1, 1)) & (cc < ws.reshape(B, 1, 1)))
+    depth0 = jnp.where(valid, jnp.nan_to_num(depth.astype(jnp.float32)), 0.0)
+
+    if with_uncertainty:
+        gf = jax.vmap(
+            lambda d, v, u: compute_grid_features(d, v, u, stats_window)
+        )(depth0, valid, uncertainty)
+    else:
+        gf = jax.vmap(
+            lambda d, v: compute_grid_features(d, v, None, stats_window)
+        )(depth0, valid)
+
+    df = jnp.where(valid, depth0, gf.local_mean)
+    feats = _boundary_fixups(gf.features, df, valid, hs, ws)
+    return feats, df, valid, gf
+
+
+@partial(jax.jit, static_argnames=("connectivity",
+                                   "with_uncertainty", "stats_window"))
+def build_slab_grid_inputs(
+    depth: jax.Array,        # [B, S, S] f32; NODATA (>=1e5/NaN) at invalid
+    valid: Optional[jax.Array],
+    uncertainty: Optional[jax.Array],
+    hs: jax.Array,
+    ws: jax.Array,
+    res: jax.Array,          # [B, 2] f32 (res_x, res_y)
+    *,
+    connectivity: int,
+    with_uncertainty: bool,
+    stats_window: int = 5,
+):
+    """Slab -> dense batched-grid model inputs (features/valid/nbr/eattr/
+    local_std), per-grid resolutions traced (no per-resolution recompile).
+
+    Feeds BatchedGridGNN directly: the flagship shifted-window fast path
+    for VR refinement batches — no compaction, no gathers."""
+    from ..models.grid_gat import neighbor_masks, shift
+
+    feats, df, valid, gf = _slab_features(
+        depth, valid, uncertainty, hs, ws, stats_window, with_uncertainty)
+    offsets = offsets_for_connectivity(connectivity)
+    nbr = jax.vmap(lambda v: neighbor_masks(v, offsets))(valid)
+
+    def eattrs(dfb, rxy):
+        planes = []
+        for dr, dc in offsets:
+            dist = jnp.sqrt((dc * rxy[0]) ** 2 + (dr * rxy[1]) ** 2)
+            ddiff = dfb - shift(dfb, dr, dc)
+            slope = jnp.degrees(jnp.arctan(ddiff / jnp.maximum(dist, 1e-12)))
+            planes.append(jnp.stack(
+                [jnp.broadcast_to(dist, dfb.shape), ddiff, slope], -1))
+        return jnp.stack(planes)
+
+    eattr = jax.vmap(eattrs)(df, res)
+    eattr = jnp.where(nbr[..., None], eattr, 0.0)
+    return feats, valid, nbr, eattr, gf.local_std
+
+
 @partial(jax.jit, static_argnames=("connectivity", "n_pad",
                                    "with_uncertainty", "stats_window"))
 def build_slab_ell(
@@ -118,25 +186,8 @@ def build_slab_ell(
     """
     B, S, _ = depth.shape
     cells = S * S
-    if valid is None:
-        # BAG NODATA convention (reference: data/vr_bag.py:108) + frame
-        rr = jax.lax.broadcasted_iota(jnp.int32, (B, S, S), 1)
-        cc = jax.lax.broadcasted_iota(jnp.int32, (B, S, S), 2)
-        valid = (jnp.isfinite(depth) & (jnp.abs(depth) < 1.0e5)
-                 & (rr < hs.reshape(B, 1, 1)) & (cc < ws.reshape(B, 1, 1)))
-    depth0 = jnp.where(valid, jnp.nan_to_num(depth.astype(jnp.float32)), 0.0)
-
-    if with_uncertainty:
-        gf = jax.vmap(
-            lambda d, v, u: compute_grid_features(d, v, u, stats_window)
-        )(depth0, valid, uncertainty)
-    else:
-        gf = jax.vmap(
-            lambda d, v: compute_grid_features(d, v, None, stats_window)
-        )(depth0, valid)
-
-    df = jnp.where(valid, depth0, gf.local_mean)
-    feats = _boundary_fixups(gf.features, df, valid, hs, ws)
+    feats, df, valid, gf = _slab_features(
+        depth, valid, uncertainty, hs, ws, stats_window, with_uncertainty)
     F = feats.shape[-1]
 
     # -- cross-grid node compaction ------------------------------------

@@ -52,21 +52,55 @@ class NativeVRProcessor:
         node_buckets: Tuple[int, ...] = (1024, 4096, 16384, 65536, 131072),
         use_ell: bool = True,
         use_slab: bool = True,
+        use_grid: Optional[bool] = None,
         slab_size: int = 56,
         slab_batch_buckets: Tuple[int, ...] = (8, 32, 128, 512, 2048),
+        compute_dtype: Optional[str] = None,
     ):
         self.model = model
         self.variables = variables
         self.config = config or Config()
         self.use_ell = use_ell
-        cfg = config or Config()
+        cfg = self.config
         # the slab ELL has exactly `connectivity` incoming slots; explicit
         # self-loop edges would need one more (GAT's internal self-loop is
         # handled inside the conv, not as an edge slot)
         self.use_slab = (use_slab and use_ell
                          and not cfg.graph.include_self_loops)
+        # grid mode: slabs run through the dense shifted-window fast path
+        # (BatchedGridGNN) instead of the gather ELL model — GAT only.
+        # Default on for GAT (the flagship serving mode).
+        if use_grid is None:
+            use_grid = model.gnn_type == "GAT"
+        self.use_grid = bool(use_grid and self.use_slab
+                             and model.gnn_type == "GAT")
         self.slab_size = slab_size
         self.slab_batch_buckets = slab_batch_buckets
+        if self.use_grid:
+            from ..models.grid_batched import BatchedGridGNN
+            from ..models.grid_gat import params_from_coo
+
+            if compute_dtype is None:
+                compute_dtype = ("bfloat16"
+                                 if jax.default_backend() == "tpu"
+                                 else "float32")
+            self.grid_model = BatchedGridGNN(
+                hidden_channels=model.hidden_channels,
+                num_layers=model.num_layers, heads=model.heads,
+                num_classes=model.num_classes, dropout=0.0,
+                predict_correction=model.predict_correction,
+                feature_extractor_layers=model.feature_extractor_layers,
+                edge_dim=model.edge_dim,
+                connectivity=cfg.graph.connectivity,
+                compute_dtype=compute_dtype,
+            )
+            gv = {"params": params_from_coo(variables["params"],
+                                            model.num_layers)}
+            if "batch_stats" in variables:
+                gv["batch_stats"] = params_from_coo(
+                    variables["batch_stats"], model.num_layers)
+            self.grid_variables = gv
+            self._grid_forward = self._make_grid_forward()
         if use_ell:
             # gather-only sparse path; same param tree as the COO model
             from ..models.gnn_ell import EllBathymetricGNN
@@ -115,6 +149,31 @@ class NativeVRProcessor:
                 [out["predicted_class"].astype(jnp.float16),
                  out["confidence"].astype(jnp.float16),
                  corr.astype(jnp.float16)], axis=-1)
+
+        return forward
+
+    def _make_grid_forward(self):
+        model = self.grid_model
+
+        @partial(jax.jit, static_argnames=("n_pad",))
+        def forward(variables, feats, valid, nbr, eattr, local_std, n_pad):
+            out = model.apply(variables, feats, valid, nbr, eattr)
+            corr = out.get("correction")
+            if corr is None:
+                corr = jnp.zeros_like(out["confidence"])
+            corr = corr * jnp.maximum(local_std, CORRECTION_NORM_FLOOR)
+            packed = jnp.stack(
+                [out["predicted_class"].astype(jnp.float16),
+                 out["confidence"].astype(jnp.float16),
+                 corr.astype(jnp.float16)], axis=-1)   # [B, S, S, 3]
+            # compact per-cell outputs to node slots (same row-major,
+            # grid-major order as the ELL path / host np.nonzero)
+            flat_valid = valid.reshape(-1)
+            (lin,) = jnp.nonzero(flat_valid, size=n_pad, fill_value=0)
+            live = (jnp.arange(n_pad, dtype=jnp.int32)
+                    < jnp.sum(flat_valid.astype(jnp.int32)))
+            p = jnp.take(packed.reshape(-1, 3), lin, axis=0)
+            return jnp.where(live[:, None], p, 0)
 
         return forward
 
@@ -262,15 +321,29 @@ class NativeVRProcessor:
              for p in entries],
             self.slab_size, b_pad, with_unc, implicit_valid=True,
         )
-        g, _, _, _ = build_slab_ell(
-            jnp.asarray(depth), None,
-            jnp.asarray(unc) if with_unc else None,
-            jnp.asarray(hs), jnp.asarray(ws), jnp.asarray(res),
-            connectivity=self.config.graph.connectivity,
-            n_pad=n_pad, with_uncertainty=with_unc,
-            stats_window=self.config.graph.local_stats_window,
-        )
-        dev = self._forward(self.variables, g)
+        if self.use_grid:
+            from ..data.slab_build import build_slab_grid_inputs
+
+            feats, valid, nbr, eattr, lstd = build_slab_grid_inputs(
+                jnp.asarray(depth), None,
+                jnp.asarray(unc) if with_unc else None,
+                jnp.asarray(hs), jnp.asarray(ws), jnp.asarray(res),
+                connectivity=self.config.graph.connectivity,
+                with_uncertainty=with_unc,
+                stats_window=self.config.graph.local_stats_window,
+            )
+            dev = self._grid_forward(self.grid_variables, feats, valid,
+                                     nbr, eattr, lstd, n_pad=n_pad)
+        else:
+            g, _, _, _ = build_slab_ell(
+                jnp.asarray(depth), None,
+                jnp.asarray(unc) if with_unc else None,
+                jnp.asarray(hs), jnp.asarray(ws), jnp.asarray(res),
+                connectivity=self.config.graph.connectivity,
+                n_pad=n_pad, with_uncertainty=with_unc,
+                stats_window=self.config.graph.local_stats_window,
+            )
+            dev = self._forward(self.variables, g)
         logger.debug("slab-launched %d grids (%d nodes, B=%d, bucket %d)",
                      len(entries), n_total, b_pad, n_pad)
         return ("slab", idx, entries, dev)

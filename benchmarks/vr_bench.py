@@ -53,10 +53,13 @@ def run(processor, grids):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-grids", type=int, default=2000)
-    ap.add_argument("--mode", choices=("slab", "noslab"), default="slab",
-                    help="slab = one-shot batched device build (default); "
-                         "noslab = per-grid device build (one compile per "
-                         "refinement shape — slow on first pass)")
+    ap.add_argument("--mode", choices=("grid", "ell", "noslab"),
+                    default="grid",
+                    help="grid = slab through the dense shifted-window "
+                         "fast path (default); ell = slab through the "
+                         "gather ELL model; noslab = per-grid device "
+                         "build (one compile per refinement shape — slow "
+                         "on first pass)")
     ap.add_argument("--node-budget", type=int, default=50000)
     args = ap.parse_args()
 
@@ -80,7 +83,8 @@ def main():
 
     processor = NativeVRProcessor(
         model, variables, node_budget=args.node_budget,
-        use_ell=True, use_slab=args.mode == "slab")
+        use_ell=True, use_slab=args.mode != "noslab",
+        use_grid=args.mode == "grid")
 
     grids = make_refinements(args.n_grids)
     n_nodes = sum(int(np.sum(np.isfinite(d) & (np.abs(d) < 1e5)))

@@ -109,24 +109,32 @@ def test_processor_slab_matches_noslab():
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), bg.graph)
 
     outs = {}
-    for use_slab in (True, False):
+    # three build/forward paths must agree: dense grid fast path (slab ->
+    # BatchedGridGNN), slab ELL, and the per-grid noslab ELL baseline
+    modes = {
+        "grid": dict(use_slab=True, use_grid=True),
+        "ell": dict(use_slab=True, use_grid=False),
+        "noslab": dict(use_slab=False, use_grid=False),
+    }
+    for name, kw in modes.items():
         proc = NativeVRProcessor(model, variables, node_budget=10 ** 9,
-                                 use_ell=True, use_slab=use_slab)
+                                 use_ell=True, **kw)
         for depth, valid, unc, res in grids:
             d = np.where(valid, depth, np.float32(1.0e6))
             proc.add_to_batch(d, np.full(d.shape, 0.3, np.float32), res)
-        outs[use_slab] = proc.drain()
+        outs[name] = proc.drain()
 
-    agree = total = 0
-    for a, b in zip(outs[True], outs[False]):
-        assert a["classification"].shape == b["classification"].shape
-        agree += int((a["classification"] == b["classification"]).sum())
-        total += a["classification"].size
-        np.testing.assert_allclose(a["confidence"], b["confidence"],
-                                   atol=1e-3)
-        np.testing.assert_allclose(a["correction"], b["correction"],
-                                   atol=4e-3)
-    assert agree / total > 0.99
+    for name in ("grid", "ell"):
+        agree = total = 0
+        for a, b in zip(outs[name], outs["noslab"]):
+            assert a["classification"].shape == b["classification"].shape
+            agree += int((a["classification"] == b["classification"]).sum())
+            total += a["classification"].size
+            np.testing.assert_allclose(a["confidence"], b["confidence"],
+                                       atol=1e-3, err_msg=name)
+            np.testing.assert_allclose(a["correction"], b["correction"],
+                                       atol=4e-3, err_msg=name)
+        assert agree / total > 0.99, name
 
 
 def test_processor_mixed_slab_and_large_grids_preserve_order():
