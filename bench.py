@@ -6,11 +6,14 @@ Measures the full dense-grid pipeline on a 256x256 tile — on-device
 featurization + 4-layer/64-hidden/4-head GAT with the fused Pallas layer
 kernel — in edges/s.
 
-Timing methodology (benchmarks/RESULTS.md): chained iterations with a
-host-fetched checksum at the end. On this remote TPU platform,
-block_until_ready does not reliably wait and per-call timings include
-transfer artifacts; only a data-dependent chain ending in a host fetch is
-un-fakeable.
+Timing methodology (benchmarks/RESULTS.md): data-dependent chained
+iterations inside ONE compiled lax.scan, ending in a host-fetched
+checksum — un-fakeable (every iteration feeds the next; the fetch forces
+completion). Two scan lengths are timed and the MARGINAL per-iteration
+cost reported: the remote-tunnel runtime adds a fixed ~20 ms
+dispatch+fetch cost per execution that has nothing to do with the chip;
+the marginal cost equals the profiler-reported device busy time
+(validated 2026-08-19: marginal 1.41 ms/iter vs 1.40 ms/iter device).
 
 The reference publishes no throughput numbers (BASELINE.md);
 ``vs_baseline`` is measured against NOMINAL_EDGES_PER_S = 1e8 edges/s, a
@@ -28,7 +31,8 @@ NOMINAL_EDGES_PER_S = 1.0e8
 
 TILE = 256          # 256x256 tile -> 65536 nodes, ~783k live edges
 LAYERS = 4          # flagship: 4-layer GAT, 64 hidden, 4 heads
-ITERS = 30
+ITERS_SHORT = 20    # two-point marginal timing (see module docstring)
+ITERS_LONG = 220
 
 
 def main():
@@ -57,23 +61,37 @@ def main():
     feats, v, nbr, eattr, _ = build_grid_inputs(base, valid)
     variables = model.init(jax.random.PRNGKey(0), feats, v, nbr, eattr)
 
-    @jax.jit
-    def step(depth, valid):
-        f, v_, n_, e_, _ = build_grid_inputs(depth, valid)
-        out = model.apply(variables, f, v_, n_, e_)["class_logits"]
-        # data-dependent chain: next input depends on this output
-        return depth + 1e-20 * out[:, :, 0]
+    def make_scan(n_iters):
+        @jax.jit
+        def scan_steps(depth, valid):
+            def body(d, _):
+                f, v_, n_, e_, _ = build_grid_inputs(d, valid)
+                out = model.apply(variables, f, v_, n_, e_)["class_logits"]
+                # data-dependent chain: next input depends on this output
+                return d + 1e-20 * out[:, :, 0], ()
 
-    d = jax.device_put(base)
+            d, _ = jax.lax.scan(body, depth, None, length=n_iters)
+            return d
+
+        return scan_steps
+
+    d0 = jax.device_put(jnp.asarray(base))
     vj = jax.device_put(valid)
-    d = step(d, vj)
-    float(jnp.sum(d))  # compile + settle
+    short, long_ = make_scan(ITERS_SHORT), make_scan(ITERS_LONG)
+    float(jnp.sum(short(d0, vj)))   # compile + settle
+    float(jnp.sum(long_(d0, vj)))
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        d = step(d, vj)
-    float(jnp.sum(d))  # forces completion of the whole chain
-    dt = (time.perf_counter() - t0) / ITERS
+    t_short, t_long = [], []
+    for _ in range(3):              # best-of-3 guards tunnel transients
+        t0 = time.perf_counter()
+        float(jnp.sum(short(d0, vj)))   # fetch forces the whole chain
+        t_short.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(jnp.sum(long_(d0, vj)))
+        t_long.append(time.perf_counter() - t0)
+    # marginal per-iteration cost = device time (fixed dispatch+fetch
+    # overhead of the remote tunnel cancels)
+    dt = (min(t_long) - min(t_short)) / (ITERS_LONG - ITERS_SHORT)
 
     edges_per_s = num_edges * LAYERS / dt
     print(json.dumps({
