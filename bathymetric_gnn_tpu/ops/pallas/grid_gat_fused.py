@@ -104,6 +104,12 @@ def _kernel(
     xh_e = jnp.dot(xe, w_mat, preferred_element_type=jnp.float32)
     ad = jnp.dot(xe, wa_mat, preferred_element_type=jnp.float32)
     xh_e = xh_e.reshape(R + 2, W, HC)
+    # (NEGATIVE RESULT 2026-08-19: running the aggregation loop on bf16
+    # operands — and even fully-packed bf16 accumulate — measures 2-6%
+    # SLOWER than f32 (1425/1480 us vs 1401 us marginal). The VPU has no
+    # packed-bf16 ALU win here and the casts + bf16-safe rolls cost more
+    # than the saved VMEM traffic; the loop is ALU/issue-bound, not
+    # bandwidth-bound.)
 
     # attention dots per head as lane-clean [R(+2), W] 2-D arrays: one small
     # transpose of the [(R+2)W, 2*heads] matmul output, then major-dim
