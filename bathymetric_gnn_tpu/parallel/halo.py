@@ -34,6 +34,7 @@ from typing import Dict, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.grid_gat import GridGATConv
@@ -229,6 +230,133 @@ def make_sharded_grid_forward(
         )(variables, depth, valid)
 
     return jax.jit(fwd)
+
+
+def make_halo_train_step(
+    model: HaloGridGNN,
+    optimizer,
+    training_cfg,
+    class_weights,
+    huber_delta,
+    mesh: Mesh,
+    resolution: Tuple[float, float] = (1.0, 1.0),
+):
+    """dp x sp training step on the product mesh (``data`` x ``graph``).
+
+    The tile batch [B, H, W] is sharded over ``data`` and each tile's rows
+    over ``graph``: every device owns a [B/nd, H/ng, W] block. Each shard
+    runs the halo forward (per-layer ppermute row refresh over ICI,
+    BatchNorm moments psum'd over ``graph``), computes the masked
+    multi-task loss on its local rows, and grads/metrics are pmean'd over
+    BOTH axes — the GNN analogue of DP x sequence parallelism
+    (SURVEY §2.2 SP row, §7.1 step 8 stage B).
+
+    Loss semantics: each graph-shard's per-node means are averaged with
+    equal shard weight (exact when valid nodes distribute evenly across
+    row shards; the usual sequence-parallel convention).
+    """
+    from ..training import losses as L
+    from ..config.constants import (CLASS_NOISE, CORRECTION_NORM_CAP,
+                                    CORRECTION_NORM_FLOOR)
+
+    tc = training_cfg
+    data_axis = "data"
+    axis = model.axis_name
+
+    def local_loss(params, batch_stats, batch, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+
+        def one(noisy, valid, labels, raw_corr, rng1):
+            out, upd = model.apply(
+                variables, noisy, valid, resolution=resolution,
+                deterministic=False, rngs={"dropout": rng1},
+                mutable=["batch_stats"],
+            )
+            denom = jnp.maximum(out["local_std"], CORRECTION_NORM_FLOOR)
+            corr_t = jnp.clip(raw_corr / denom,
+                              -CORRECTION_NORM_CAP, CORRECTION_NORM_CAP)
+            flat = lambda a: a.reshape(-1)
+            outputs = {k: (v_.reshape(-1, v_.shape[-1])
+                           if k in ("class_logits", "class_probs")
+                           else flat(v_))
+                       for k, v_ in out.items()}
+            lbl = flat(labels)
+            targets = {"labels": lbl, "correction": flat(corr_t),
+                       "noise_mask": lbl == CLASS_NOISE}
+            node_mask = flat(valid)
+            losses = L.combined_loss(
+                outputs, targets, node_mask,
+                class_weights=class_weights,
+                classification_weight=tc.classification_weight,
+                correction_weight=tc.correction_weight,
+                confidence_weight=tc.confidence_weight,
+                feature_preservation_weight=tc.feature_preservation_weight,
+                shoal_safety_weight=tc.shoal_safety_weight,
+                label_smoothing=tc.label_smoothing,
+                correction_delta=huber_delta,
+            )
+            m = node_mask.astype(jnp.float32)
+            acc = jnp.sum((outputs["predicted_class"] == lbl) * m
+                          ) / jnp.maximum(jnp.sum(m), 1.0)
+            return losses, acc, upd["batch_stats"]
+
+        bsz = batch["noisy"].shape[0]
+        rngs = jax.random.split(rng, bsz)
+        losses, acc, new_bs = jax.vmap(one)(
+            batch["noisy"], batch["valid"], batch["labels"],
+            batch["raw_correction"], rngs)
+        losses = jax.tree.map(lambda a: jnp.mean(a, 0), losses)
+        new_bs = jax.tree.map(lambda a: jnp.mean(a, 0), new_bs)
+        return losses["total"], (losses, jnp.mean(acc), new_bs)
+
+    def shard_fn(params, batch_stats, opt_state, batch, rng, lr):
+        # distinct dropout per data-shard; identical within a graph row-group
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+        (_, (losses, acc, new_bs)), grads = jax.value_and_grad(
+            local_loss, has_aux=True
+        )(params, batch_stats, batch, rng)
+        grads = jax.lax.pmean(jax.lax.pmean(grads, axis), data_axis)
+        losses = jax.lax.pmean(jax.lax.pmean(losses, axis), data_axis)
+        acc = jax.lax.pmean(jax.lax.pmean(acc, axis), data_axis)
+        new_bs = jax.lax.pmean(new_bs, data_axis)  # graph-psum'd in-model
+        inj = opt_state[1]
+        inj = inj._replace(hyperparams={**inj.hyperparams,
+                                        "learning_rate": lr})
+        updates, new_opt = optimizer.update(grads, (opt_state[0], inj),
+                                            params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_bs, new_opt, losses, acc
+
+    def _spec_like(tree, spec):
+        return jax.tree.map(lambda _: spec, tree)
+
+    batch_spec = P(data_axis, axis, None)  # [B, rows, W]
+
+    def step(state, batch, rng, lr):
+        sharded = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(
+                _spec_like(state.params, P()),
+                _spec_like(state.batch_stats, P()),
+                jax.tree.map(lambda _: P(), state.opt_state),
+                jax.tree.map(lambda _: batch_spec, batch),
+                P(), P(),
+            ),
+            out_specs=(
+                _spec_like(state.params, P()),
+                _spec_like(state.batch_stats, P()),
+                jax.tree.map(lambda _: P(), state.opt_state),
+                P(), P(),
+            ),
+            check_vma=False,
+        )
+        new_params, new_bs, new_opt, losses, acc = sharded(
+            state.params, state.batch_stats, state.opt_state, batch, rng, lr)
+        from ..training.trainer import TrainState
+        return (TrainState(new_params, new_bs, new_opt, state.step + 1),
+                losses, acc)
+
+    return jax.jit(step)
 
 
 def pad_rows_to_multiple(a, n: int, fill=0.0):
