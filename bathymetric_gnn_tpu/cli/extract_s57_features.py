@@ -1,7 +1,8 @@
 """S-57/ENC feature extraction CLI (re-design of
-scripts/extract_s57_features.py:928-1074): query NOAA REST (or load a
-GeoJSON), export GeoJSON, rasterize class-1 label discs aligned to a
-survey raster."""
+scripts/extract_s57_features.py:928-1074): query NOAA REST, parse local
+.000 ENC cells natively (ISO 8211 — no OGR needed), or load a GeoJSON;
+export GeoJSON; rasterize class-1 label discs aligned to a survey
+raster."""
 
 from __future__ import annotations
 
@@ -24,6 +25,8 @@ def parse_args(argv=None):
                      metavar=("MINX", "MINY", "MAXX", "MAXY"),
                      help="query NOAA ENC REST for this envelope")
     src.add_argument("--geojson", help="load features from GeoJSON")
+    src.add_argument("--enc", nargs="+",
+                     help="local S-57 ENC cell(s) (.000), parsed natively")
     p.add_argument("--survey", help="survey raster to align labels to")
     p.add_argument("--output-geojson")
     p.add_argument("--output-labels", help="write label raster (.tif)")
@@ -40,6 +43,11 @@ def main(argv=None):
 
     if args.geojson:
         features = s57.load_features_geojson(args.geojson)
+    elif args.enc:
+        features = []
+        for cell in args.enc:
+            features.extend(s57.extract_features_from_s57(cell))
+        features = s57.dedupe_by_position(features)
     else:
         features = s57.query_features_from_rest(tuple(args.bounds))
 

@@ -6,9 +6,9 @@ GeoJSON export, and — the training-relevant core — rasterizing feature
 points as circular class-1 ("feature") label discs (wreck 50 m / rock
 25 m / obstruction 30 m radii, reference :413-439).
 
-Local .000 ENC parsing requires OGR, which is unavailable in this
-environment; ``extract_features_from_s57`` raises with guidance (features
-can instead come from the REST path or pre-exported GeoJSON).
+Local .000 ENC parsing is native (no OGR): ``extract_features_from_s57``
+decodes the ISO/IEC 8211 + S-57 binary cell directly via
+``io/s57_8211.py`` — the reference needs GDAL/OGR for this path.
 
 Like the reference, this label source is implemented but not yet wired
 into the default training loop (reference README.md:73).
@@ -139,15 +139,71 @@ def dedupe_by_position(features: Sequence[S57Feature],
     return out
 
 
-# -- local ENC files -------------------------------------------------------
+# -- local ENC files (native ISO 8211 parser — io/s57_8211.py) -------------
 
-def extract_features_from_s57(enc_path) -> List[S57Feature]:
-    """Local .000 parsing needs OGR (absent here). Use the REST path or
-    load a previously-exported GeoJSON via load_features_geojson."""
-    raise ImportError(
-        "GDAL/OGR is not available in this environment; extract features "
-        "via query_features_from_rest() or load_features_geojson()."
-    )
+def extract_features_from_s57(
+    enc_path,
+    object_classes: Optional[Sequence[str]] = None,
+    bounds: Optional[Tuple[float, float, float, float]] = None,
+) -> List[S57Feature]:
+    """Extract features from a local .000 ENC cell.
+
+    The reference does this through GDAL/OGR layers
+    (scripts/extract_s57_features.py:483-585); here the cell is parsed
+    natively (ISO/IEC 8211 records + S-57 binary fields). Semantics
+    mirror the reference: point features use their node coordinate,
+    line/area features their vertex centroid, SOUNDG multipoints emit one
+    feature per sounding, depth comes from the 3-D coordinate and is
+    overridden by a VALSOU attribute, and ``bounds``
+    (min_x, min_y, max_x, max_y) filters spatially.
+    """
+    from ..io.s57_8211 import feature_points, read_s57_cell
+
+    wanted = set(object_classes if object_classes is not None
+                 else FEATURE_CLASSES.keys())
+    cell = read_s57_cell(enc_path)
+    features: List[S57Feature] = []
+
+    def in_bounds(x: float, y: float) -> bool:
+        return bounds is None or (bounds[0] <= x <= bounds[2]
+                                  and bounds[1] <= y <= bounds[3])
+
+    for feat in cell.features:
+        cls = feat.object_class
+        if cls is None or cls not in wanted:
+            continue
+        coords, depths = feature_points(cell, feat)
+        if not coords:
+            continue
+        attrs = dict(feat.attributes)
+        if cls == "SOUNDG":
+            # multipoint soundings: one feature per 3-D point
+            for i, (x, y) in enumerate(coords):
+                if not in_bounds(x, y):
+                    continue
+                features.append(S57Feature(
+                    object_class=cls, geometry_type="Point", x=x, y=y,
+                    depth=depths[i] if i < len(depths) else None,
+                    attributes=attrs, source="s57"))
+            continue
+        if feat.prim == 1:
+            x, y = coords[0]
+            geom = "Point"
+        else:
+            xs, ys = zip(*coords)
+            x, y = sum(xs) / len(xs), sum(ys) / len(ys)
+            geom = "LineString" if feat.prim == 2 else "Polygon"
+        depth = depths[0] if depths else None
+        valsou = (feat.attributes or {}).get("VALSOU")
+        if valsou is not None:
+            depth = float(valsou)
+        if not in_bounds(x, y):
+            continue
+        features.append(S57Feature(
+            object_class=cls, geometry_type=geom, x=x, y=y, depth=depth,
+            attributes=attrs, source="s57"))
+    logger.info("Extracted %d features from %s", len(features), enc_path)
+    return features
 
 
 # -- GeoJSON round-trip (reference: :605-631) ------------------------------

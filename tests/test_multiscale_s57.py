@@ -95,3 +95,102 @@ class TestS57:
         assert s["total"] == 3
         assert s["by_class"]["WRECKS"] == 1
         assert s["depth_range"] == [12.0, 12.0]
+
+
+class TestS57NativeCell:
+    """Native ISO 8211 / S-57 .000 parsing (io/s57_8211.py) — the
+    reference needs OGR for this path (extract_s57_features.py:483)."""
+
+    def write_cell(self, path):
+        from bathymetric_gnn_tpu.io.s57_8211 import S57Writer
+
+        w = S57Writer()
+        wreck_node = w.add_node(-122.41, 37.81, depth=14.5)
+        rock_node = w.add_node(-122.39, 37.79)
+        edge = w.add_edge([(-122.40, 37.80), (-122.38, 37.80),
+                           (-122.38, 37.82)])
+        snd_node = w.add_node(0, 0, soundings=[
+            (-122.405, 37.805, 9.3), (-122.404, 37.806, 9.7)])
+        w.add_feature("WRECKS", [wreck_node],
+                      attributes={"CATWRK": 2, "OBJNAM": "SS Test",
+                                  "VALSOU": 15.2})
+        w.add_feature("UWTROC", [rock_node], attributes={"WATLEV": 3})
+        w.add_feature("OBSTRN", [edge], prim=2)
+        w.add_feature("SOUNDG", [snd_node])
+        w.save(path)
+
+    def test_8211_record_walk(self, tmp_path):
+        from bathymetric_gnn_tpu.io.s57_8211 import iter_8211_records
+
+        p = tmp_path / "cell.000"
+        self.write_cell(p)
+        recs = list(iter_8211_records(p.read_bytes()))
+        assert recs[0].leader_id == "L"          # DDR first
+        assert all(r.leader_id == "D" for r in recs[1:])
+        tags = [t for r in recs for t, _ in r.fields]
+        for tag in ("DSPM", "VRID", "SG2D", "SG3D", "FRID", "ATTF", "FSPT"):
+            assert tag in tags
+
+    def test_cell_decode(self, tmp_path):
+        from bathymetric_gnn_tpu.io.s57_8211 import read_s57_cell
+
+        p = tmp_path / "cell.000"
+        self.write_cell(p)
+        cell = read_s57_cell(p)
+        assert cell.comf == 10_000_000.0 and cell.somf == 10.0
+        assert len(cell.features) == 4
+        assert len(cell.spatials) == 4
+        wreck = cell.features[0]
+        assert wreck.object_class == "WRECKS"
+        assert wreck.attributes["CATWRK"] == 2
+        assert wreck.attributes["OBJNAM"] == "SS Test"
+        key = wreck.spatial_refs[0]
+        (x, y), = cell.spatials[key].coords
+        assert abs(x - (-122.41)) < 1e-6 and abs(y - 37.81) < 1e-6
+        assert abs(cell.spatials[key].depths[0] - 14.5) < 1e-9
+
+    def test_extract_features(self, tmp_path):
+        p = tmp_path / "cell.000"
+        self.write_cell(p)
+        feats = s57.extract_features_from_s57(p)
+        by_cls = {}
+        for f in feats:
+            by_cls.setdefault(f.object_class, []).append(f)
+        # VALSOU overrides the SG3D depth (reference :568-570)
+        assert by_cls["WRECKS"][0].depth == 15.2
+        assert by_cls["WRECKS"][0].geometry_type == "Point"
+        assert by_cls["UWTROC"][0].depth is None
+        # line feature -> vertex centroid
+        ob = by_cls["OBSTRN"][0]
+        assert ob.geometry_type == "LineString"
+        assert abs(ob.x - (-122.38666666)) < 1e-6
+        # SOUNDG multipoint -> one feature per sounding with its depth
+        snd = by_cls["SOUNDG"]
+        assert len(snd) == 2
+        assert {s.depth for s in snd} == {9.3, 9.7}
+
+    def test_extract_filters(self, tmp_path):
+        p = tmp_path / "cell.000"
+        self.write_cell(p)
+        only_wrecks = s57.extract_features_from_s57(
+            p, object_classes=["WRECKS"])
+        assert {f.object_class for f in only_wrecks} == {"WRECKS"}
+        # bounds excluding the rock at (-122.39, 37.79)
+        filtered = s57.extract_features_from_s57(
+            p, bounds=(-122.42, 37.795, -122.37, 37.83))
+        assert "UWTROC" not in {f.object_class for f in filtered}
+
+    def test_cli_enc_to_labels(self, tmp_path, capsys):
+        import json
+
+        from bathymetric_gnn_tpu.cli import extract_s57_features as cli
+
+        p = tmp_path / "cell.000"
+        self.write_cell(p)
+        out = tmp_path / "f.geojson"
+        cli.main(["--enc", str(p), "--output-geojson", str(out)])
+        summary = json.loads(capsys.readouterr().out)
+        assert summary["by_class"]["WRECKS"] == 1
+        assert out.exists()
+        loaded = s57.load_features_geojson(out)
+        assert len(loaded) == len(s57.extract_features_from_s57(p))
