@@ -33,6 +33,7 @@ class GNNBackbone(nn.Module):
     heads: int = 4
     dropout: float = 0.1
     edge_dim: Optional[int] = None
+    bn_axis_name: Optional[str] = None  # sync-BN moments across this axis
 
     @nn.compact
     def __call__(
@@ -67,7 +68,8 @@ class GNNBackbone(nn.Module):
             else:
                 raise ValueError(f"unknown gnn_type {self.gnn_type}")
 
-            x = MaskedBatchNorm(width)(x, g.node_mask, use_running_average)
+            x = MaskedBatchNorm(width, axis_name=self.bn_axis_name)(
+                x, g.node_mask, use_running_average)
             if not last:
                 x = nn.relu(x)
                 x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
@@ -87,6 +89,7 @@ class BathymetricGNN(nn.Module):
     predict_correction: bool = True
     feature_extractor_layers: int = 2
     edge_dim: Optional[int] = 3
+    bn_axis_name: Optional[str] = None  # sync-BN for data-parallel shards
 
     @nn.compact
     def __call__(
@@ -105,6 +108,7 @@ class BathymetricGNN(nn.Module):
             heads=self.heads,
             dropout=self.dropout,
             edge_dim=self.edge_dim if self.gnn_type == "GAT" else None,
+            bn_axis_name=self.bn_axis_name,
         )(g, x, deterministic, use_running_average)
 
         logits = ClassificationHead(self.hidden_channels, self.num_classes,

@@ -35,15 +35,29 @@ def make_dp_train_step(
     class_weights,
     huber_delta,
     mesh: Mesh,
+    exact: bool = True,
 ) -> Callable:
     """Build a jitted data-parallel train step.
 
     Inputs: state (replicated), graph/targets stacked [B, ...] with B
     divisible by the data-axis size, dropout rng, lr scalar.
+
+    ``exact=True`` (default) makes the sharded step numerically equal to
+    the single-device step on the same batch: every loss component's
+    numerator/denominator is psum'd over ``data`` before dividing (the
+    single-device objective is one joint masked mean over the merged
+    batch, NOT a mean of per-shard means), and BatchNorm moments are
+    psum'd across replicas (sync-BN; requires the model to expose
+    ``bn_axis_name``). Verified by dryrun_multichip's grad-equivalence
+    assertions. ``exact=False`` keeps per-shard BN statistics (torch-DDP-
+    style local BN), trading exactness for one less collective per layer.
     """
-    loss_fn = make_loss_fn(model, training_cfg, class_weights, huber_delta,
-                           train=True)
     data_axis = "data"
+    if exact and hasattr(model, "bn_axis_name"):
+        model = model.clone(bn_axis_name=data_axis)
+    loss_fn = make_loss_fn(model, training_cfg, class_weights, huber_delta,
+                           train=True,
+                           terms_axis=data_axis if exact else None)
 
     def shard_fn(params, batch_stats, opt_state, graph, targets, rng, lr):
         # per-shard rng so dropout differs across devices
@@ -57,6 +71,11 @@ def make_dp_train_step(
             loss_fn, has_aux=True
         )(params, batch_stats, merged, flat_targets, rng)
 
+        # with exact=True the differentiated loss is the replicated global
+        # objective; psum's transpose under shard_map is psum, so each
+        # shard's backward already carries an n x factor and pmean yields
+        # the true total gradient (see parallel/halo.py for the same
+        # argument). With exact=False this is the classic grad average.
         grads = jax.lax.pmean(grads, data_axis)
         losses = jax.lax.pmean(losses, data_axis)
         acc = jax.lax.pmean(acc, data_axis)
@@ -114,9 +133,11 @@ def make_dp_train_step(
 
 def make_dp_eval_step(model, training_cfg, class_weights, huber_delta,
                       mesh: Mesh) -> Callable:
-    loss_fn = make_loss_fn(model, training_cfg, class_weights, huber_delta,
-                           train=False)
     data_axis = "data"
+    # eval uses running BN averages (no batch moments), so only the loss
+    # terms need the exact cross-shard reduction
+    loss_fn = make_loss_fn(model, training_cfg, class_weights, huber_delta,
+                           train=False, terms_axis=data_axis)
 
     def shard_fn(params, batch_stats, graph, targets):
         merged = merge_stacked(graph)
@@ -125,7 +146,7 @@ def make_dp_eval_step(model, training_cfg, class_weights, huber_delta,
         )
         _, (losses, acc, _) = loss_fn(params, batch_stats, merged,
                                       flat_targets, jax.random.PRNGKey(0))
-        return jax.lax.pmean(losses, data_axis), jax.lax.pmean(acc, data_axis)
+        return losses, acc  # already replicated by the psum'd terms
 
     graph_specs = PaddedGraph(
         x=P(data_axis), edge_src=P(data_axis), edge_dst=P(data_axis),

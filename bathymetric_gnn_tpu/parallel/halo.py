@@ -247,13 +247,18 @@ def make_halo_train_step(
     over ``graph``: every device owns a [B/nd, H/ng, W] block. Each shard
     runs the halo forward (per-layer ppermute row refresh over ICI,
     BatchNorm moments psum'd over ``graph``), computes the masked
-    multi-task loss on its local rows, and grads/metrics are pmean'd over
-    BOTH axes — the GNN analogue of DP x sequence parallelism
+    multi-task loss on its local rows, and grads are pmean'd over both
+    axes — the GNN analogue of DP x sequence parallelism
     (SURVEY §2.2 SP row, §7.1 step 8 stage B).
 
-    Loss semantics: each graph-shard's per-node means are averaged with
-    equal shard weight (exact when valid nodes distribute evenly across
-    row shards; the usual sequence-parallel convention).
+    Loss semantics are EXACT: every component's masked-mean numerator and
+    denominator (valid counts, noise counts, FP counts, CE weight sums)
+    are psum'd over the ``graph`` axis before dividing, so the sharded
+    objective equals the single-chip one even on masked surveys whose
+    valid nodes distribute unevenly across row shards. See the gradient-
+    reduction note inside shard_fn for why grads then pmean (not psum)
+    over ``graph``. Verified by the single-vs-sharded train-step
+    equivalence test (tests/test_halo.py).
     """
     from ..training import losses as L
     from ..config.constants import (CLASS_NOISE, CORRECTION_NORM_CAP,
@@ -284,30 +289,38 @@ def make_halo_train_step(
             targets = {"labels": lbl, "correction": flat(corr_t),
                        "noise_mask": lbl == CLASS_NOISE}
             node_mask = flat(valid)
-            losses = L.combined_loss(
+            terms = L.combined_loss_terms(
                 outputs, targets, node_mask,
                 class_weights=class_weights,
-                classification_weight=tc.classification_weight,
-                correction_weight=tc.correction_weight,
-                confidence_weight=tc.confidence_weight,
-                feature_preservation_weight=tc.feature_preservation_weight,
-                shoal_safety_weight=tc.shoal_safety_weight,
                 label_smoothing=tc.label_smoothing,
                 correction_delta=huber_delta,
             )
             m = node_mask.astype(jnp.float32)
-            acc = jnp.sum((outputs["predicted_class"] == lbl) * m
-                          ) / jnp.maximum(jnp.sum(m), 1.0)
-            return losses, acc, upd["batch_stats"]
+            acc_num = jnp.sum((outputs["predicted_class"] == lbl) * m)
+            acc_den = jnp.sum(m)
+            return terms, (acc_num, acc_den), upd["batch_stats"]
 
         bsz = batch["noisy"].shape[0]
         rngs = jax.random.split(rng, bsz)
-        losses, acc, new_bs = jax.vmap(one)(
+        terms, acc_nd, new_bs = jax.vmap(one)(
             batch["noisy"], batch["valid"], batch["labels"],
             batch["raw_correction"], rngs)
+        # EXACT sharded objective: psum each per-tile numerator/denominator
+        # over the graph axis before dividing (module docstring).
+        terms = jax.lax.psum(terms, axis)
+        acc_num, acc_den = jax.lax.psum(acc_nd, axis)
+        losses = jax.vmap(partial(
+            L.finalize_loss_terms,
+            classification_weight=tc.classification_weight,
+            correction_weight=tc.correction_weight,
+            confidence_weight=tc.confidence_weight,
+            feature_preservation_weight=tc.feature_preservation_weight,
+            shoal_safety_weight=tc.shoal_safety_weight,
+        ))(terms)
+        acc = jnp.mean(acc_num / jnp.maximum(acc_den, 1.0))
         losses = jax.tree.map(lambda a: jnp.mean(a, 0), losses)
         new_bs = jax.tree.map(lambda a: jnp.mean(a, 0), new_bs)
-        return losses["total"], (losses, jnp.mean(acc), new_bs)
+        return losses["total"], (losses, acc, new_bs)
 
     def shard_fn(params, batch_stats, opt_state, batch, rng, lr):
         # distinct dropout per data-shard; identical within a graph row-group
@@ -315,9 +328,16 @@ def make_halo_train_step(
         (_, (losses, acc, new_bs)), grads = jax.value_and_grad(
             local_loss, has_aux=True
         )(params, batch_stats, batch, rng)
+        # The differentiated loss is the graph-global objective (terms
+        # psum'd in forward). psum's transpose under shard_map is psum, so
+        # each shard's backward already carries an n_graph x factor on
+        # every path (seed 1 on each replica -> ct = n after the
+        # transpose); pmean over graph therefore yields exactly the true
+        # total gradient. Pinned by the single-vs-sharded equivalence
+        # test in tests/test_halo.py.
         grads = jax.lax.pmean(jax.lax.pmean(grads, axis), data_axis)
-        losses = jax.lax.pmean(jax.lax.pmean(losses, axis), data_axis)
-        acc = jax.lax.pmean(jax.lax.pmean(acc, axis), data_axis)
+        losses = jax.lax.pmean(losses, data_axis)
+        acc = jax.lax.pmean(acc, data_axis)
         new_bs = jax.lax.pmean(new_bs, data_axis)  # graph-psum'd in-model
         inj = opt_state[1]
         inj = inj._replace(hyperparams={**inj.hyperparams,

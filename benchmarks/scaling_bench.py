@@ -49,7 +49,15 @@ def main():
     from bathymetric_gnn_tpu.models.grid_gat import GridBathymetricGNN
     from bathymetric_gnn_tpu.parallel.halo import (HaloGridGNN,
                                                    make_sharded_grid_forward)
-    from bathymetric_gnn_tpu.parallel.mesh import make_mesh
+    from bathymetric_gnn_tpu.parallel.mesh import (initialize_distributed,
+                                                   make_mesh)
+
+    # pod-ready: on a multi-host slice each host runs this script once
+    # (e.g. via the TPU VM launcher); initialize_distributed() is a no-op
+    # single-process
+    dist = initialize_distributed()
+    if dist["processes"] > 1 and jax.process_index() == 0:
+        print(f"# multi-host: {dist}", file=sys.stderr)
 
     n_avail = len(jax.devices())
     max_dev = args.devices or n_avail

@@ -98,3 +98,46 @@ class TestDataParallel:
             state.params, new_state.params,
         )
         assert max(jax.tree.leaves(diffs)) > 0
+
+
+class TestMultiHostScaffolding:
+    """Single-process behavior of the multi-host helpers (the process
+    topology itself needs a pod; these pin the API and the host-local
+    degenerate case)."""
+
+    def test_initialize_noop_single_process(self):
+        import jax
+
+        from bathymetric_gnn_tpu.parallel.mesh import initialize_distributed
+
+        info = initialize_distributed()
+        assert info["processes"] == 1
+        assert info["process_id"] == 0
+        assert info["global_devices"] == len(jax.devices())
+
+    def test_host_mesh_layout(self):
+        import jax
+        import numpy as np
+
+        from bathymetric_gnn_tpu.parallel.mesh import make_host_mesh
+
+        mesh = make_host_mesh(graph_axis=4)
+        assert mesh.axis_names == ("data", "graph")
+        assert mesh.devices.shape == (len(jax.devices()) // 4, 4)
+        # graph-minor layout: consecutive device ids share a graph group
+        ids = np.vectorize(lambda d: d.id)(mesh.devices)
+        assert (np.diff(ids, axis=1) == 1).all()
+
+    def test_host_local_batch_single_process(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from bathymetric_gnn_tpu.parallel.mesh import (
+            host_local_batch_to_global, make_host_mesh)
+
+        mesh = make_host_mesh(graph_axis=1)
+        batch = {"a": jnp.arange(16.0).reshape(8, 2)}
+        out = host_local_batch_to_global(batch, mesh)
+        np.testing.assert_array_equal(np.asarray(out["a"]),
+                                      np.asarray(batch["a"]))
+        assert out["a"].sharding.spec[0] == "data"

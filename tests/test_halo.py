@@ -121,6 +121,35 @@ class TestHaloParity:
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
 
+def _make_train_batch(bsz=2, h=32, w=48, seed=7):
+    import jax.numpy as jnp
+
+    rg = np.random.default_rng(seed)
+    tiles, valids, labels, corrs = [], [], [], []
+    for i in range(bsz):
+        depth, valid = setup_case(h=h, w=w, masked=(i == 0))
+        lbl = (rg.random((h, w)) < 0.2).astype(np.int32) * 2
+        corr = rg.normal(0, 0.3, (h, w)).astype(np.float32) * (lbl == 2)
+        tiles.append(depth); valids.append(valid)
+        labels.append(lbl); corrs.append(corr)
+    return {
+        "noisy": jnp.asarray(np.stack(tiles)),
+        "valid": jnp.asarray(np.stack(valids)),
+        "labels": jnp.asarray(np.stack(labels)),
+        "raw_correction": jnp.asarray(np.stack(corrs)),
+    }
+
+
+def _make_optimizer(tc):
+    import optax
+
+    return optax.chain(
+        optax.clip_by_global_norm(tc.grad_clip_norm),
+        optax.inject_hyperparams(optax.adamw)(
+            learning_rate=tc.learning_rate, weight_decay=tc.weight_decay),
+    )
+
+
 class TestHaloTrainStep:
     """dp x sp training step on a 2x4 virtual mesh: one full optimizer
     update with row-sharded grids must run and produce finite losses,
@@ -177,3 +206,69 @@ class TestHaloTrainStep:
                               jnp.float32(1e-3))
         assert np.isfinite(float(losses2["total"]))
         assert int(s2.step) == 2
+
+    def test_sharded_step_matches_single_device(self, models_and_vars):
+        """EXACT dp x sp objective: a train step on the 2x4 mesh must
+        reproduce the single-device step (same model on a 1x1 mesh) —
+        losses, accuracy, AND updated parameters — on masked grids whose
+        valid nodes distribute unevenly across row shards (VERDICT r1
+        item 4). Loss terms are psum'd over the graph axis before
+        normalizing; grads psum over graph / pmean over data."""
+        import jax.numpy as jnp
+
+        from bathymetric_gnn_tpu.config.config import TrainingConfig
+        from bathymetric_gnn_tpu.parallel.halo import make_halo_train_step
+        from bathymetric_gnn_tpu.training.trainer import TrainState
+
+        import optax
+
+        single, halo, variables = models_and_vars  # halo has dropout=0.0
+        tc = TrainingConfig()
+        # SGD(lr=1) + huge clip threshold: updated params differ from the
+        # originals by exactly -grad, so the param comparison IS a grad
+        # comparison (Adam's first step is ~lr*sign(g) — comparing it is
+        # ill-conditioned wherever g ~ f32 noise)
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(1e9),
+            optax.inject_hyperparams(optax.sgd)(learning_rate=1.0),
+        )
+
+        def fresh_state():
+            return TrainState(variables["params"], variables["batch_stats"],
+                              optimizer.init(variables["params"]),
+                              jnp.int32(0))
+
+        batch = _make_train_batch(bsz=2)
+        cw = jnp.asarray([0.5, 1.5, 1.0], jnp.float32)  # non-uniform CE weights
+
+        mesh_ref = make_mesh(1, graph_axis=1)
+        step_ref = make_halo_train_step(halo, optimizer, tc, cw, 1.0,
+                                        mesh_ref)
+        st_ref, losses_ref, acc_ref = step_ref(
+            fresh_state(), batch, jax.random.PRNGKey(3), jnp.float32(1e-3))
+
+        mesh = make_mesh(8, graph_axis=4)
+        step_sh = make_halo_train_step(halo, optimizer, tc, cw, 1.0, mesh)
+        st_sh, losses_sh, acc_sh = step_sh(
+            fresh_state(), batch, jax.random.PRNGKey(3), jnp.float32(1e-3))
+
+        for k in losses_ref:
+            np.testing.assert_allclose(
+                float(losses_sh[k]), float(losses_ref[k]),
+                rtol=2e-4, atol=1e-5, err_msg=f"loss[{k}]")
+        np.testing.assert_allclose(float(acc_sh), float(acc_ref),
+                                   rtol=1e-5, atol=1e-6)
+        # param delta == -grad (SGD lr=1): grads must match shard counts
+        ref_g = jax.tree.map(lambda new, old: np.asarray(new) - np.asarray(old),
+                             st_ref.params, variables["params"])
+        sh_g = jax.tree.map(lambda new, old: np.asarray(new) - np.asarray(old),
+                            st_sh.params, variables["params"])
+        gscale = max(float(np.max(np.abs(g))) for g in jax.tree.leaves(ref_g))
+        for a, b in zip(jax.tree.leaves(sh_g), jax.tree.leaves(ref_g)):
+            np.testing.assert_allclose(a, b, rtol=1e-3,
+                                       atol=max(gscale * 1e-4, 1e-7))
+        # BatchNorm running stats also agree (psum'd masked moments)
+        for a, b in zip(jax.tree.leaves(st_sh.batch_stats),
+                        jax.tree.leaves(st_ref.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
