@@ -46,6 +46,18 @@ def analyze_ground_truth(gt_path) -> dict:
                     100.0 * float(noise[sel].mean()), 2) if sel.any() else 0,
             })
         out["noise_rate_by_depth"] = rates
+        # swath pattern: per-column noise rate averaged over column
+        # quartiles (multibeam outer-beam noise shows up at the swath
+        # edges — reference: scripts/analyze_noise_patterns.py:103-112)
+        col_valid = np.maximum(np.sum(valid, axis=0), 1)
+        noise_by_col = np.sum(noise, axis=0) / col_valid
+        q = np.array_split(noise_by_col, 4)
+        out["swath_pattern"] = {
+            "left_quarter_noise_rate": round(float(np.mean(q[0])), 4),
+            "center_left_noise_rate": round(float(np.mean(q[1])), 4),
+            "center_right_noise_rate": round(float(np.mean(q[2])), 4),
+            "right_quarter_noise_rate": round(float(np.mean(q[3])), 4),
+        }
         # cluster statistics (connected components)
         lbl, n_clusters = ndimage.label(noise)
         if n_clusters:

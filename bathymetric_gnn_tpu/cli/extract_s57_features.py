@@ -20,13 +20,15 @@ from .common import setup_logging
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Extract S-57 nav features")
-    src = p.add_mutually_exclusive_group(required=True)
-    src.add_argument("--bounds", nargs=4, type=float,
-                     metavar=("MINX", "MINY", "MAXX", "MAXY"),
-                     help="query NOAA ENC REST for this envelope")
+    src = p.add_mutually_exclusive_group(required=False)
     src.add_argument("--geojson", help="load features from GeoJSON")
     src.add_argument("--enc", nargs="+",
                      help="local S-57 ENC cell(s) (.000), parsed natively")
+    p.add_argument("--bounds", nargs=4, type=float,
+                   metavar=("MINX", "MINY", "MAXX", "MAXY"),
+                   help="envelope: REST query region when used alone, "
+                        "spatial filter when combined with --enc "
+                        "(reference supports both together)")
     p.add_argument("--survey", help="survey raster to align labels to")
     p.add_argument("--output-geojson")
     p.add_argument("--output-labels", help="write label raster (.tif)")
@@ -41,15 +43,19 @@ def main(argv=None):
     args = parse_args(argv)
     setup_logging(args.verbose)
 
+    if not (args.geojson or args.enc or args.bounds):
+        raise SystemExit("one of --geojson, --enc, or --bounds is required")
+    bounds = tuple(args.bounds) if args.bounds else None
     if args.geojson:
         features = s57.load_features_geojson(args.geojson)
     elif args.enc:
         features = []
         for cell in args.enc:
-            features.extend(s57.extract_features_from_s57(cell))
+            features.extend(s57.extract_features_from_s57(
+                cell, bounds=bounds))
         features = s57.dedupe_by_position(features)
     else:
-        features = s57.query_features_from_rest(tuple(args.bounds))
+        features = s57.query_features_from_rest(bounds)
 
     print(json.dumps(s57.summarize_features(features), indent=2))
     if args.output_geojson:

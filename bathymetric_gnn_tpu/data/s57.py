@@ -175,25 +175,33 @@ def extract_features_from_s57(
         coords, depths = feature_points(cell, feat)
         if not coords:
             continue
-        attrs = dict(feat.attributes)
         if cls == "SOUNDG":
-            # multipoint soundings: one feature per 3-D point
+            # multipoint soundings: one feature per 3-D point.
+            # feature_points aligns depths[i] with coords[i] (None for
+            # SG2D points); each emitted feature gets its OWN attrs dict.
             for i, (x, y) in enumerate(coords):
                 if not in_bounds(x, y):
                     continue
                 features.append(S57Feature(
                     object_class=cls, geometry_type="Point", x=x, y=y,
                     depth=depths[i] if i < len(depths) else None,
-                    attributes=attrs, source="s57"))
+                    attributes=dict(feat.attributes), source="s57"))
             continue
+        attrs = dict(feat.attributes)
         if feat.prim == 1:
             x, y = coords[0]
             geom = "Point"
-        else:
+        elif feat.prim in (2, 3):
             xs, ys = zip(*coords)
             x, y = sum(xs) / len(xs), sum(ys) / len(ys)
             geom = "LineString" if feat.prim == 2 else "Polygon"
-        depth = depths[0] if depths else None
+        else:
+            # PRIM 255 = no geometry; unknown values are skipped, not
+            # silently treated as polygons
+            logger.debug("Skipping %s feature %d with PRIM=%d",
+                         cls, feat.rcid, feat.prim)
+            continue
+        depth = next((d for d in depths if d is not None), None)
         valsou = (feat.attributes or {}).get("VALSOU")
         if valsou is not None:
             depth = float(valsou)

@@ -95,6 +95,109 @@ class RowBandMerger:
         return out
 
 
+class VRBagWindowReader:
+    """Windowed VR BAG reader: serves north-up rows of the finest-
+    resolution refinement mosaic WITHOUT materializing it (the r1 loader
+    rasterized the whole canvas in RAM — io/loaders.py:128; the reference
+    leans on GDAL's windowed resampled reads, data/loaders.py:314-384).
+
+    At open time only refinement METADATA is indexed (canvas row range
+    per refinement); read_rows rasterizes exactly the refinements
+    intersecting the requested band with nearest-center sampling
+    (io/loaders._place_refinement with row_offset). Bands advance
+    monotonically and each refinement spans far fewer canvas rows than a
+    band, so every refinement's values are read from HDF5 O(1) times.
+    Memory: O(band_rows x width).
+    """
+
+    def __init__(self, path):
+        import h5py
+
+        from ..config.constants import BAG_NODATA
+        from ..io.bag import VRBagHandler
+        from ..io.geotiff import GeoTiffInfo
+
+        h = VRBagHandler(path)
+        self._handler = h
+        self._f = h5py.File(str(path), "r")
+        self._ref = self._f["BAG_root"]["varres_refinements"]
+        self.height, self.width = h.resampled_shape
+        self.res = h.finest_resolution
+        self.bounds = h.bounds
+        self.base_cs = h.base_cell_size
+        self.bands = 2
+        self.nodata = BAG_NODATA
+        gt = (self.bounds[0], self.res, 0.0, self.bounds[3], 0.0, -self.res)
+        self.info = GeoTiffInfo(
+            width=self.width, height=self.height, bands=2,
+            dtype=np.dtype(np.float32),
+            pixel_scale=(self.res, self.res, 0.0),
+            tiepoint=(0.0, 0.0, 0.0, gt[0], gt[3], 0.0),
+            nodata=BAG_NODATA, crs_wkt=h.crs,
+        )
+
+        md = h.varres_metadata
+        rows, cols = np.nonzero(md["dimensions_x"] > 0)
+        m = md[rows, cols]
+        self._base_row = rows.astype(np.int64)
+        self._base_col = cols.astype(np.int64)
+        self._dx = m["dimensions_x"].astype(np.int64)
+        self._dy = m["dimensions_y"].astype(np.int64)
+        self._resx = m["resolution_x"].astype(np.float64)
+        self._resy = m["resolution_y"].astype(np.float64)
+        self._swx = m["sw_corner_x"].astype(np.float64)
+        self._swy = m["sw_corner_y"].astype(np.float64)
+        self._index = m["index"].astype(np.int64)
+        b = self.bounds
+        self._cell_x = b[0] + self._base_col * self.base_cs[0] + self._swx
+        self._cell_y = b[1] + self._base_row * self.base_cs[1] + self._swy
+        y_max = self._cell_y + self._dy * self._resy
+        self._py0 = np.floor((b[3] - y_max) / self.res + 1e-9).astype(int)
+        self._py1 = np.ceil((b[3] - self._cell_y) / self.res - 1e-9
+                            ).astype(int)
+        self._unc_cache = None  # (r0, r1, rows) — band 1 follows band 0
+
+    def read_rows(self, band: int, r0: int, r1: int) -> np.ndarray:
+        r0 = max(r0, 0)
+        r1 = min(r1, self.height)
+        if r1 <= r0:
+            return np.zeros((0, self.width), np.float32)
+        if band == 1:
+            c = self._unc_cache
+            if c is not None and c[0] == r0 and c[1] == r1:
+                return c[2]
+        from ..io.bag import RefinementGrid
+        from ..io.loaders import _place_refinement
+
+        shape = (r1 - r0, self.width)
+        depth = np.full(shape, self.nodata, np.float32)
+        unc = np.zeros(shape, np.float32)
+        sel = np.nonzero((self._py0 < r1) & (self._py1 > r0))[0]
+        for i in sel:
+            n = int(self._dx[i] * self._dy[i])
+            rec = self._ref[0, self._index[i]:self._index[i] + n]
+            grid = RefinementGrid(
+                base_row=int(self._base_row[i]),
+                base_col=int(self._base_col[i]),
+                depth=rec["depth"].reshape(self._dy[i], self._dx[i])
+                .astype(np.float32),
+                uncertainty=rec["depth_uncrt"].reshape(
+                    self._dy[i], self._dx[i]).astype(np.float32),
+                resolution=(float(self._resx[i]), float(self._resy[i])),
+                dimensions=(int(self._dy[i]), int(self._dx[i])),
+                sw_corner=(float(self._swx[i]), float(self._swy[i])),
+                start_index=int(self._index[i]),
+            )
+            _place_refinement(depth, unc, grid, float(self._cell_x[i]),
+                              float(self._cell_y[i]), self.bounds,
+                              self.res, shape, row_offset=r0)
+        self._unc_cache = (r0, r1, unc)
+        return depth if band == 0 else unc
+
+    def close(self):
+        self._f.close()
+
+
 class BagWindowReader:
     """SR BAG windowed reader with the GeoTiffWindowReader interface.
 
@@ -110,9 +213,8 @@ class BagWindowReader:
         from ..io.geotiff import GeoTiffInfo
 
         if detect_bag_type(path) != "SR":
-            raise NotImplementedError(
-                "streaming supports SR BAGs; resample VR BAGs first or use "
-                "the native VR path")
+            raise NotImplementedError("BagWindowReader is the SR path; "
+                                      "VR BAGs use VRBagWindowReader")
         handler = SRBagHandler(path)  # parses georeferencing
         self._f = h5py.File(str(path), "r")
         root = self._f["BAG_root"]
@@ -146,13 +248,18 @@ class BagWindowReader:
 def open_window_reader(path):
     path = str(path)
     if path.lower().endswith(".bag"):
+        from ..io.bag import detect_bag_type
+
+        if detect_bag_type(path) == "VR":
+            return VRBagWindowReader(path)
         return BagWindowReader(path)
     return GeoTiffWindowReader(path)
 
 
 class StreamingPipeline(BathymetricPipeline):
     """BathymetricPipeline with O(band) memory over windowed sources
-    (strip GeoTIFFs and SR BAGs)."""
+    (strip GeoTIFFs, SR BAGs, and VR BAGs via the windowed refinement
+    rasterizer)."""
 
     def process_streaming(self, input_path, output_path) -> Dict:
         if self._forward is None:

@@ -78,11 +78,12 @@ class BathymetricLoader:
             raise ValueError(f"bad vr_bag_mode {vr_bag_mode}")
         self.vr_bag_mode = vr_bag_mode
 
-    def load(self, path) -> BathymetricGrid:
+    def load(self, path,
+             vr_target_resolution: Optional[float] = None) -> BathymetricGrid:
         path = Path(path)
         suffix = path.suffix.lower()
         if suffix == ".bag":
-            return self._load_bag(path)
+            return self._load_bag(path, vr_target_resolution)
         if suffix in (".tif", ".tiff"):
             return self._load_geotiff(path)
         if suffix in (".asc", ".txt"):
@@ -91,17 +92,55 @@ class BathymetricLoader:
 
     # -- BAG ---------------------------------------------------------------
 
-    def _load_bag(self, path) -> BathymetricGrid:
+    def _load_bag(self, path,
+                  vr_target_resolution: Optional[float] = None
+                  ) -> BathymetricGrid:
+        """Three distinct VR modes (reference: data/loaders.py:98-107,
+        165-245):
+        - 'refinements': mosaic native refinement grids at the finest
+          refinement resolution (reference: data/loaders.py:246-313);
+        - 'resampled': uniform grid at ``vr_target_resolution`` (defaults
+          to finest), the GDAL MODE=RESAMPLED_GRID / RESX/RESY analogue
+          (reference: data/loaders.py:314-384);
+        - 'base': coarse base grid only.
+        """
         kind = detect_bag_type(path)
         if kind == "SR":
             return self._load_sr_bag(path)
         if self.vr_bag_mode == "base":
             return self._load_vr_base(path)
         if self.vr_bag_mode == "resampled":
-            return self._load_vr_resampled(path)
-        # 'refinements' mode loads resampled too for grid-level consumers;
-        # native consumers use VRBagHandler.iterate_refinements directly.
-        return self._load_vr_resampled(path)
+            return self._load_vr_resampled(path, vr_target_resolution)
+        return self._load_vr_resampled(path, None)  # refinements: finest
+
+    def load_refinement_grids(self, path, min_valid_ratio: float = 0.0):
+        """Yield each native refinement as its own georeferenced
+        BathymetricGrid (north-up rows) — the training-from-native-
+        refinements surface of the reference's 'refinements' mode
+        (reference: data/loaders.py:246-313). SR BAGs yield the whole
+        grid once (reference: data/vr_bag.py:395-428)."""
+        path = Path(path)
+        kind = detect_bag_type(path)
+        if kind == "SR":
+            g = self._load_sr_bag(path)
+            if g.valid_ratio >= min_valid_ratio:
+                yield g
+            return
+        h = VRBagHandler(path)
+        b = h.bounds
+        base_cs = h.base_cell_size
+        for grid in h.iterate_refinements(min_valid_ratio):
+            rx, ry = grid.resolution
+            gh, gw = grid.depth.shape
+            cell_x = b[0] + grid.base_col * base_cs[0] + grid.sw_corner[0]
+            cell_y = b[1] + grid.base_row * base_cs[1] + grid.sw_corner[1]
+            gt = (cell_x, rx, 0.0, cell_y + gh * ry, 0.0, -ry)
+            yield BathymetricGrid(
+                depth=np.flipud(grid.depth).copy(),
+                uncertainty=np.flipud(grid.uncertainty).copy(),
+                geotransform=gt, crs=h.crs, resolution=(rx, ry),
+                nodata=BAG_NODATA, source_path=str(path),
+            )
 
     def _load_sr_bag(self, path) -> BathymetricGrid:
         h = SRBagHandler(path)
@@ -125,37 +164,31 @@ class BathymetricLoader:
             resolution=cs, nodata=BAG_NODATA, source_path=str(path),
         )
 
-    def _load_vr_resampled(self, path) -> BathymetricGrid:
-        """Rasterize all refinements onto the finest-resolution canvas
-        (GDAL-free equivalent of MODE=RESAMPLED_GRID —
-        reference: data/loaders.py:314-383)."""
+    def _load_vr_resampled(
+        self, path, target_resolution: Optional[float] = None
+    ) -> BathymetricGrid:
+        """Rasterize all refinements onto a uniform canvas — the GDAL-free
+        equivalent of MODE=RESAMPLED_GRID with RESX/RESY
+        (reference: data/loaders.py:314-384). ``target_resolution=None``
+        uses the finest refinement resolution (the 'refinements' mosaic);
+        a coarser/finer value nearest-samples each refinement cell onto
+        the target canvas."""
         h = VRBagHandler(path)
-        shape = h.resampled_shape
-        res = h.finest_resolution
+        b = h.bounds
+        fin = h.finest_resolution
+        res = float(target_resolution) if target_resolution else fin
+        if target_resolution:
+            shape = (max(int(round((b[3] - b[1]) / res)), 1),
+                     max(int(round((b[2] - b[0]) / res)), 1))
+        else:
+            shape = h.resampled_shape
         depth = np.full(shape, BAG_NODATA, np.float32)
         unc = np.full(shape, 0.0, np.float32)
-        b = h.bounds
         base_cs = h.base_cell_size
         for grid in h.iterate_refinements():
             cell_x = b[0] + grid.base_col * base_cs[0] + grid.sw_corner[0]
             cell_y = b[1] + grid.base_row * base_cs[1] + grid.sw_corner[1]
-            sy = max(1, int(round(grid.resolution[1] / res)))
-            sx = max(1, int(round(grid.resolution[0] / res)))
-            d = np.kron(grid.depth, np.ones((sy, sx), np.float32))
-            u = np.kron(grid.uncertainty, np.ones((sy, sx), np.float32))
-            d, u = np.flipud(d), np.flipud(u)
-            hh, ww = d.shape
-            px = int(round((cell_x - b[0]) / res))
-            py = int(round((b[3] - cell_y) / res)) - hh
-            y0, y1 = max(py, 0), min(py + hh, shape[0])
-            x0, x1 = max(px, 0), min(px + ww, shape[1])
-            if y1 <= y0 or x1 <= x0:
-                continue
-            src = np.s_[y0 - py:y0 - py + (y1 - y0),
-                        x0 - px:x0 - px + (x1 - x0)]
-            mask = d[src] != BAG_NODATA
-            depth[y0:y1, x0:x1][mask] = d[src][mask]
-            unc[y0:y1, x0:x1][mask] = u[src][mask]
+            _place_refinement(depth, unc, grid, cell_x, cell_y, b, res, shape)
         gt = (b[0], res, 0.0, b[3], 0.0, -res)
         return BathymetricGrid(
             depth=depth, uncertainty=unc, geotransform=gt, crs=h.crs,
@@ -208,6 +241,38 @@ def _is_float(s: str) -> bool:
         return True
     except ValueError:
         return False
+
+
+def _place_refinement(depth, unc, grid, cell_x, cell_y, bounds, res, shape,
+                      row_offset: int = 0):
+    """Nearest-center sample one refinement onto a north-up canvas at
+    resolution ``res``. ``row_offset`` shifts canvas rows for windowed
+    (row-band) rasterization: canvas row 0 corresponds to global row
+    ``row_offset``. Vectorized (no per-cell Python loops — SURVEY Q5)."""
+    gh, gw = grid.depth.shape
+    rx, ry = grid.resolution
+    b = bounds
+    x_max = cell_x + gw * rx
+    y_max = cell_y + gh * ry
+    px0 = max(int(np.floor((cell_x - b[0]) / res + 1e-9)), 0)
+    px1 = min(int(np.ceil((x_max - b[0]) / res - 1e-9)), shape[1])
+    py0 = max(int(np.floor((b[3] - y_max) / res + 1e-9)) - row_offset, 0)
+    py1 = min(int(np.ceil((b[3] - cell_y) / res - 1e-9)) - row_offset,
+              shape[0])
+    if px1 <= px0 or py1 <= py0:
+        return
+    xs = b[0] + (np.arange(px0, px1) + 0.5) * res
+    ys = b[3] - (np.arange(py0, py1) + row_offset + 0.5) * res
+    ci = np.clip(((xs - cell_x) / rx).astype(np.int64), 0, gw - 1)
+    ri = np.clip(((ys - cell_y) / ry).astype(np.int64), 0, gh - 1)
+    d = grid.depth[np.ix_(ri, ci)]
+    m = (d != BAG_NODATA) & np.isfinite(d)
+    blk = depth[py0:py1, px0:px1]
+    blk[m] = d[m]
+    if unc is not None and grid.uncertainty is not None:
+        u = grid.uncertainty[np.ix_(ri, ci)]
+        ub = unc[py0:py1, px0:px1]
+        ub[m] = u[m]
 
 
 class BathymetricWriter:

@@ -94,10 +94,34 @@ class Iso8211Record:
 
 
 def iter_8211_records(data: bytes) -> Iterator[Iso8211Record]:
-    """Walk the concatenated ISO 8211 records of a file."""
+    """Walk the concatenated ISO 8211 records of a file.
+
+    Supports leader-reuse: a record whose leader identifier is 'R'
+    declares that every subsequent record shares its leader and
+    directory; those records consist of a bare field area of the same
+    size (ISO 8211 §6.1.4). ENC production data normally uses 'D'
+    leaders throughout, but 'R' streams parse too.
+    """
     pos = 0
     n = len(data)
-    while pos + 24 <= n:
+    reuse = None  # (field_layout, area_len) after an 'R' leader
+    while pos < n:
+        if reuse is not None:
+            layout, area_len = reuse
+            if pos + area_len > n:
+                break
+            area = data[pos:pos + area_len]
+            out = Iso8211Record(leader_id="R")
+            for tag, fpos, flen in layout:
+                fdata = area[fpos:fpos + flen]
+                if fdata.endswith(bytes([FT])):
+                    fdata = fdata[:-1]
+                out.fields.append((tag, fdata))
+            yield out
+            pos += area_len
+            continue
+        if pos + 24 > n:
+            break
         leader = data[pos:pos + 24]
         try:
             rec_len = int(leader[0:5])
@@ -116,6 +140,7 @@ def iter_8211_records(data: bytes) -> Iterator[Iso8211Record]:
         leader_id = chr(leader[6])
         entry_sz = sz_tag + sz_len + sz_pos
         out = Iso8211Record(leader_id=leader_id)
+        layout: List[Tuple[str, int, int]] = []
         # directory: fixed-size entries until FT
         d = 24
         while d < base - 1 and rec[d] != FT:
@@ -129,7 +154,10 @@ def iter_8211_records(data: bytes) -> Iterator[Iso8211Record]:
             if fdata.endswith(bytes([FT])):
                 fdata = fdata[:-1]
             out.fields.append((tag, fdata))
+            layout.append((tag, fpos, flen))
             d += entry_sz
+        if leader_id == "R":
+            reuse = (layout, rec_len - base)
         yield out
         pos += rec_len
 
@@ -162,6 +190,10 @@ class SpatialRecord:
     rcid: int
     coords: List[Tuple[float, float]] = field(default_factory=list)
     depths: List[float] = field(default_factory=list)   # SG3D soundings
+    # VRPT pointers (edges only): ((rcnm, rcid), topi) with
+    # TOPI 1 = beginning node, 2 = end node
+    vector_ptrs: List[Tuple[Tuple[int, int], int]] = field(
+        default_factory=list)
 
 
 @dataclass
@@ -255,6 +287,21 @@ def _decode_fspt(b: bytes) -> List[Tuple[int, int]]:
     return refs
 
 
+def _decode_vrpt(b: bytes) -> List[Tuple[Tuple[int, int], int]]:
+    """Repeated (NAME B(40): RCNM byte + RCID u32, ORNT b11, USAG b11,
+    TOPI b11, MASK b11) — 9 bytes per pointer. Edges carry two of these
+    naming their beginning (TOPI 1) and end (TOPI 2) connected nodes;
+    a straight edge has NO SG2D of its own, so endpoint geometry comes
+    only from here."""
+    ptrs = []
+    for off in range(0, len(b) - 8, 9):
+        rcnm = b[off]
+        rcid = _u(b, off + 1, 4)
+        topi = b[off + 7]
+        ptrs.append(((rcnm, rcid), topi))
+    return ptrs
+
+
 def read_s57_cell(path) -> S57Cell:
     """Parse a .000 ENC cell into spatial + feature records."""
     data = Path(path).read_bytes()
@@ -278,6 +325,8 @@ def read_s57_cell(path) -> S57Cell:
                 cs, ds = _decode_sg3d(b, cell.comf, cell.somf)
                 current_spatial.coords.extend(cs)
                 current_spatial.depths.extend(ds)
+            elif tag == "VRPT" and current_spatial is not None:
+                current_spatial.vector_ptrs.extend(_decode_vrpt(b))
             elif tag == "FRID":
                 rcid, prim, objl = _decode_frid(b)
                 current_feature = FeatureRecord(rcid=rcid, prim=prim,
@@ -291,18 +340,46 @@ def read_s57_cell(path) -> S57Cell:
 
 
 def feature_points(cell: S57Cell, feat: FeatureRecord
-                   ) -> Tuple[List[Tuple[float, float]], List[float]]:
-    """All coordinates (and SG3D depths) referenced by a feature."""
+                   ) -> Tuple[List[Tuple[float, float]],
+                              List[Optional[float]]]:
+    """All coordinates referenced by a feature, with per-point depths.
+
+    ``depths[i]`` always corresponds to ``coords[i]`` (None where the
+    point has no SG3D sounding), so SOUNDG per-point depth lookups never
+    misalign when SG2D and SG3D refs mix. For edge references, the VRPT
+    connected-node endpoints are resolved and emitted around the edge's
+    interior SG2D vertices (beginning node first, end node last) — a
+    straight edge carries no SG2D at all, so without this line/area
+    features lose their geometry entirely."""
     coords: List[Tuple[float, float]] = []
-    depths: List[float] = []
+    depths: List[Optional[float]] = []
+
+    def emit(sp: SpatialRecord) -> None:
+        d = list(sp.depths)
+        d += [None] * (len(sp.coords) - len(d))
+        coords.extend(sp.coords)
+        depths.extend(d[:len(sp.coords)])
+
     for key in feat.spatial_refs:
         sp = cell.spatials.get(key)
         if sp is None:
             logger.debug("Feature %d references missing spatial %s",
                          feat.rcid, key)
             continue
-        coords.extend(sp.coords)
-        depths.extend(sp.depths)
+        begin = end = None
+        for node_key, topi in sp.vector_ptrs:
+            node = cell.spatials.get(node_key)
+            if node is None or not node.coords:
+                continue
+            if topi == 1 and begin is None:
+                begin = node
+            elif topi == 2 and end is None:
+                end = node
+        if begin is not None:
+            emit(begin)
+        emit(sp)
+        if end is not None:
+            emit(end)
     return coords, depths
 
 
@@ -392,15 +469,37 @@ class S57Writer:
         self._records.append(_record_bytes("D", fields))
         return (RCNM_VI, rcid)
 
-    def add_edge(self, coords: Sequence[Tuple[float, float]]
-                 ) -> Tuple[int, int]:
-        """Edge vector record with an SG2D coordinate string."""
-        rcid = self._alloc(RCNM_VE)
-        sg2d = b"".join(struct.pack("<ii", int(round(y * self.comf)),
-                                    int(round(x * self.comf)))
-                        for x, y in coords)
+    def add_connected_node(self, x: float, y: float) -> Tuple[int, int]:
+        """Connected node (edge endpoint) with an SG2D coordinate."""
+        rcid = self._alloc(RCNM_VC)
+        sg2d = struct.pack("<ii", int(round(y * self.comf)),
+                           int(round(x * self.comf)))
         self._records.append(_record_bytes(
-            "D", [("VRID", self._vrid(RCNM_VE, rcid)), ("SG2D", sg2d)]))
+            "D", [("VRID", self._vrid(RCNM_VC, rcid)), ("SG2D", sg2d)]))
+        return (RCNM_VC, rcid)
+
+    def add_edge(self, coords: Sequence[Tuple[float, float]],
+                 begin_node: Optional[Tuple[int, int]] = None,
+                 end_node: Optional[Tuple[int, int]] = None
+                 ) -> Tuple[int, int]:
+        """Edge vector record: VRPT endpoint pointers (when given) plus an
+        SG2D string of interior vertices (may be empty — a straight edge
+        between two connected nodes carries no SG2D, per S-57)."""
+        rcid = self._alloc(RCNM_VE)
+        fields = [("VRID", self._vrid(RCNM_VE, rcid))]
+        vrpt = b""
+        for key, topi in ((begin_node, 1), (end_node, 2)):
+            if key is not None:
+                vrpt += (bytes([key[0]]) + struct.pack("<I", key[1])
+                         + bytes([1, 1, topi, 2]))  # ORNT, USAG, TOPI, MASK
+        if vrpt:
+            fields.append(("VRPT", vrpt))
+        if coords:
+            sg2d = b"".join(struct.pack("<ii", int(round(y * self.comf)),
+                                        int(round(x * self.comf)))
+                            for x, y in coords)
+            fields.append(("SG2D", sg2d))
+        self._records.append(_record_bytes("D", fields))
         return (RCNM_VE, rcid)
 
     def add_feature(self, object_class: str,

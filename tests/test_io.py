@@ -156,6 +156,43 @@ class TestVRBag:
         assert vals.min() >= src.min() - 1e-5
         assert vals.max() <= src.max() + 1e-5
 
+    def test_vr_mode_matrix(self, tmp_path):
+        """The three VR load modes are distinct surfaces
+        (reference: data/loaders.py:98-107): 'refinements' mosaics at
+        finest res, 'resampled' honors a target resolution, 'base' reads
+        the coarse grid; load_refinement_grids yields per-refinement
+        georeferenced grids."""
+        p, refs = make_test_vr(tmp_path)
+        g_ref = BathymetricLoader(vr_bag_mode="refinements").load(p)
+        g_base = BathymetricLoader(vr_bag_mode="base").load(p)
+        assert g_base.depth.shape == (2, 2)
+        assert g_ref.depth.shape[0] > g_base.depth.shape[0]
+
+        # resampled with an explicit coarser target resolution
+        g_coarse = BathymetricLoader(vr_bag_mode="resampled").load(
+            p, vr_target_resolution=4.0)
+        assert g_coarse.resolution == (4.0, 4.0)
+        assert g_coarse.depth.shape == (8, 8)  # 32m extent / 4m
+        v = g_coarse.depth[g_coarse.valid_mask]
+        src = np.concatenate([d[d != BAG_NODATA].ravel()
+                              for _, _, d, _, _ in refs])
+        assert v.size > 0 and v.min() >= src.min() - 1e-5
+        assert v.max() <= src.max() + 1e-5
+
+        # per-refinement generator: one georeferenced grid per refinement
+        grids = list(BathymetricLoader().load_refinement_grids(p))
+        assert len(grids) == len(refs)
+        for g, (r, c, depth, _, res) in zip(grids, refs):
+            assert g.depth.shape == depth.shape
+            np.testing.assert_array_equal(g.depth, np.flipud(depth))
+            assert abs(g.resolution[0] - res) < 1e-5  # f32 in BAG metadata
+            assert g.geotransform is not None
+            # sw corner of refinement cell (r, c) in base coordinates
+            assert abs(g.geotransform[0] - (100.0 + c * 16.0)) < 1e-6
+        # min_valid_ratio filter drops fully-invalid refinements
+        assert len(list(BathymetricLoader().load_refinement_grids(
+            p, min_valid_ratio=1.0))) == 0
+
 
 class TestSidecar:
     def test_sidecar_placement(self, tmp_path):

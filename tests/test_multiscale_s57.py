@@ -194,3 +194,88 @@ class TestS57NativeCell:
         assert out.exists()
         loaded = s57.load_features_geojson(out)
         assert len(loaded) == len(s57.extract_features_from_s57(p))
+
+    def test_cli_enc_with_bounds_filter(self, tmp_path, capsys):
+        """--bounds combines with --enc as a spatial filter (the
+        reference supports both together)."""
+        import json
+
+        from bathymetric_gnn_tpu.cli import extract_s57_features as cli
+
+        p = tmp_path / "cell.000"
+        self.write_cell(p)
+        # envelope containing only the wreck node (-122.41, 37.81)
+        cli.main(["--enc", str(p),
+                  "--bounds", "-122.42", "37.805", "-122.405", "37.815"])
+        summary = json.loads(capsys.readouterr().out)
+        assert summary["by_class"].get("WRECKS") == 1
+        assert "UWTROC" not in summary["by_class"]
+
+    def test_vrpt_straight_edge_endpoints(self, tmp_path):
+        """A straight edge (no SG2D of its own) must still yield geometry
+        via its VRPT connected-node endpoints (ADVICE r1: VRPT was
+        undecoded, silently dropping such features)."""
+        from bathymetric_gnn_tpu.io.s57_8211 import (S57Writer,
+                                                     feature_points,
+                                                     read_s57_cell)
+
+        w = S57Writer()
+        a = w.add_connected_node(-122.50, 37.70)
+        b = w.add_connected_node(-122.40, 37.76)
+        straight = w.add_edge([], begin_node=a, end_node=b)
+        curved = w.add_edge([(-122.45, 37.72)], begin_node=a, end_node=b)
+        w.add_feature("OBSTRN", [straight], prim=2)
+        w.add_feature("OBSTRN", [curved], prim=2)
+        p = tmp_path / "edge.000"
+        w.save(p)
+
+        cell = read_s57_cell(p)
+        f_straight, f_curved = cell.features
+        cs, ds = feature_points(cell, f_straight)
+        assert len(cs) == 2 and len(ds) == 2
+        np.testing.assert_allclose(cs[0], (-122.50, 37.70), atol=1e-6)
+        np.testing.assert_allclose(cs[1], (-122.40, 37.76), atol=1e-6)
+        assert ds == [None, None]
+        cs2, _ = feature_points(cell, f_curved)
+        # begin, interior vertex, end — in order
+        assert len(cs2) == 3
+        np.testing.assert_allclose(cs2[1], (-122.45, 37.72), atol=1e-6)
+
+        feats = s57.extract_features_from_s57(p)
+        assert len(feats) == 2  # straight edge no longer dropped
+        np.testing.assert_allclose((feats[0].x, feats[0].y),
+                                   (-122.45, 37.73), atol=1e-6)
+
+    def test_soundg_depth_alignment_mixed_refs(self, tmp_path):
+        """SOUNDG mixing an SG2D node and an SG3D node keeps depths
+        aligned per point (ADVICE r1: positional misalignment)."""
+        from bathymetric_gnn_tpu.io.s57_8211 import S57Writer
+
+        w = S57Writer()
+        flat = w.add_node(-122.30, 37.90)                      # SG2D first
+        snd = w.add_node(0, 0, soundings=[(-122.31, 37.91, 7.5)])
+        w.add_feature("SOUNDG", [flat, snd])
+        p = tmp_path / "snd.000"
+        w.save(p)
+        feats = s57.extract_features_from_s57(p)
+        by_xy = {(round(f.x, 4), round(f.y, 4)): f.depth for f in feats}
+        assert by_xy[(-122.30, 37.90)] is None
+        assert abs(by_xy[(-122.31, 37.91)] - 7.5) < 1e-6
+        # attribute dicts are independent per sounding
+        feats[0].attributes["marker"] = 1
+        assert "marker" not in feats[1].attributes
+
+    def test_8211_leader_reuse(self):
+        """Records after an 'R' leader omit leader+directory and reuse
+        its layout (ISO 8211 leader-reuse)."""
+        from bathymetric_gnn_tpu.io.s57_8211 import (FT, _record_bytes,
+                                                     iter_8211_records)
+
+        first = _record_bytes("R", [("VRID", b"payload-1")])
+        # a bare field area with the same layout
+        area = b"payload-2" + bytes([FT])
+        recs = list(iter_8211_records(first + area + area))
+        assert [r.leader_id for r in recs] == ["R", "R", "R"]
+        assert recs[0].first("VRID") == b"payload-1"
+        assert recs[1].first("VRID") == b"payload-2"
+        assert recs[2].first("VRID") == b"payload-2"
