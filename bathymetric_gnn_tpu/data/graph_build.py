@@ -129,14 +129,16 @@ class GraphBuilder:
     ) -> "BuiltGraph":
         """k-NN graph from node coordinates (BASELINE.json k=8 configs).
 
-        spatial_sort reorders nodes along a Morton curve first so
-        neighbor gathers are HBM-local (measurable win on TPU)."""
+        spatial_sort reorders nodes along a Hilbert curve first so
+        neighbor indices stay within narrow bands — the banded-ELL
+        sparse kernel (ops/ell_banded.py) depends on this locality
+        (Hilbert beats Morton ~2-3x on spill fraction)."""
         from ..ops.graph import make_padded_graph
 
         n = x.shape[0]
         order = None
         if spatial_sort and n > 1:
-            order = edge_ops.morton_order(pos)
+            order = edge_ops.hilbert_order(pos)
             x = np.asarray(x)[order]
             pos = np.asarray(pos)[order]
             if local_std is not None:

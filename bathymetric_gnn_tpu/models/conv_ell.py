@@ -92,6 +92,105 @@ class GATConvELL(nn.Module):
         return jnp.where(g.node_mask[:, None], out, 0.0)
 
 
+class GATConvEllBanded(nn.Module):
+    """PyG-exact GAT on the banded ELL decomposition (ops/ell_banded.py).
+
+    Identical math and parameter names to GATConvELL, so one checkpoint
+    drives the plain-ELL, banded-XLA, and banded-Pallas paths; outputs
+    are parity-tested against GATConvELL. ``use_pallas`` swaps the band
+    part for the fused TPU kernel (ops/pallas/ell_gat_fused.py); the
+    spill pass is shared XLA code either way.
+
+    Inference/bench oriented: attention dropout is not supported here
+    (training uses GATConvELL — same params).
+    """
+
+    out_channels: int
+    heads: int = 4
+    concat: bool = True
+    negative_slope: float = 0.2
+    edge_dim: Optional[int] = None
+    add_self_loops: bool = True
+    use_bias: bool = True
+    use_pallas: bool = False
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, g: EllGraph, banded, x: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        from ..ops.ell_banded import (banded_gat_band_part_xla,
+                                      banded_gat_spill_pass)
+
+        h, c = self.heads, self.out_channels
+        n, k = g.nbr_src.shape
+
+        w = self.param("lin_src", _glorot, (x.shape[-1], h * c))
+        xh = (x @ w).reshape(n, h, c)
+
+        att_src = self.param("att_src", _glorot, (1, h, c))
+        att_dst = self.param("att_dst", _glorot, (1, h, c))
+        a_src = jnp.sum(xh * att_src, -1)  # [N, H] (spill pass + XLA ref)
+        a_dst = jnp.sum(xh * att_dst, -1)
+
+        m_edge = None
+        if self.edge_dim is not None and g.edge_attr.shape[-1] > 0:
+            we = self.param("lin_edge", _glorot, (self.edge_dim, h * c))
+            att_edge = self.param("att_edge", _glorot, (1, h, c))
+            m_edge = jnp.einsum("fac,xac->fa",
+                                we.reshape(self.edge_dim, h, c), att_edge)
+
+        if self.use_pallas:
+            from ..ops.pallas.ell_gat_fused import ell_gat_band_part_pallas
+
+            # lane-clean streams from the STATIC transposed edge-attr
+            # tables (N minor everywhere; an [N, K, H] el tensor would
+            # tile-pad 4 lanes to 128 — 32x physical HBM traffic)
+            if m_edge is not None:
+                el_t = jnp.einsum("kfn,fh->khn", banded.eattr_t,
+                                  m_edge).reshape(k * h, n)
+                el_self_t = (m_edge.T @ banded.mean_attr_t
+                             if self.add_self_loops else None)
+            else:
+                el_t = jnp.zeros((k * h, n), x.dtype)
+                el_self_t = (jnp.zeros((h, n), x.dtype)
+                             if self.add_self_loops else None)
+            hoc = jax.lax.broadcasted_iota(jnp.int32, (h * c, h), 0) // c
+            hcol = jax.lax.broadcasted_iota(jnp.int32, (h * c, h), 1)
+            diag = (hoc == hcol).astype(x.dtype)
+            a_cat_mat = jnp.concatenate(
+                [diag * att_src.reshape(h * c)[:, None],
+                 diag * att_dst.reshape(h * c)[:, None]], axis=1)
+            y, m, denom = ell_gat_band_part_pallas(
+                xh, a_cat_mat, el_t, el_self_t, banded,
+                negative_slope=self.negative_slope,
+                compute_dtype=self.compute_dtype,
+            )
+        else:
+            if m_edge is not None:
+                el_e = g.edge_attr @ m_edge                   # [N, K, H]
+                el_self = (banded.mean_attr_t.T @ m_edge
+                           if self.add_self_loops else None)
+            else:
+                el_e = jnp.zeros((n, k, h), x.dtype)
+                el_self = (jnp.zeros((n, h), x.dtype)
+                           if self.add_self_loops else None)
+            y, m, denom = banded_gat_band_part_xla(
+                xh, a_src, a_dst, el_e, el_self, banded,
+                negative_slope=self.negative_slope,
+            )
+        out = banded_gat_spill_pass(
+            y, m, denom, xh, a_src, a_dst, m_edge, banded,
+            negative_slope=self.negative_slope,
+        )
+
+        out = out.reshape(n, h * c) if self.concat else out.mean(1)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros,
+                           (h * c if self.concat else c,))
+            out = out + b
+        return jnp.where(g.node_mask[:, None], out, 0.0)
+
+
 class GCNConvELL(nn.Module):
     out_channels: int
     use_bias: bool = True

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.ell import EllGraph
-from .conv_ell import GATConvELL, GCNConvELL, GINConvELL, SAGEConvELL
+from .conv_ell import (GATConvELL, GATConvEllBanded, GCNConvELL,
+                       GINConvELL, SAGEConvELL)
 from .layers import (ClassificationHead, ConfidenceHead, CorrectionHead,
                      MaskedBatchNorm, MLPFeatureExtractor)
 
@@ -28,16 +29,38 @@ class EllGNNBackbone(nn.Module):
     heads: int = 4
     dropout: float = 0.1
     edge_dim: Optional[int] = None
+    # "xla" = plain ELL gathers; "banded" = band/spill decomposition
+    # (XLA); "banded_pallas" = fused TPU band kernel (ops/pallas/
+    # ell_gat_fused.py). Parameters are identical across all three.
+    sparse_kernel: str = "xla"
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, g: EllGraph, x: jax.Array,
                  deterministic: bool = True,
-                 use_running_average: Optional[bool] = None) -> jax.Array:
+                 use_running_average: Optional[bool] = None,
+                 banded=None) -> jax.Array:
         if use_running_average is None:
             use_running_average = deterministic
+        use_banded = self.gnn_type == "GAT" and self.sparse_kernel != "xla"
+        if use_banded and banded is None:
+            raise ValueError(
+                "sparse_kernel=banded* needs the BandedEll structure "
+                "(pass banded=band_ell(g))")
         for i in range(self.num_layers):
             last = i == self.num_layers - 1
-            if self.gnn_type == "GAT":
+            if use_banded:
+                x = GATConvEllBanded(
+                    out_channels=self.hidden_channels,
+                    heads=self.heads if not last else 1,
+                    concat=not last,
+                    edge_dim=self.edge_dim,
+                    use_pallas=self.sparse_kernel == "banded_pallas",
+                    compute_dtype=self.compute_dtype,
+                    name=f"GATConv_{i}",
+                )(g, banded, x, deterministic)
+                width = self.hidden_channels * (self.heads if not last else 1)
+            elif self.gnn_type == "GAT":
                 x = GATConvELL(
                     out_channels=self.hidden_channels,
                     heads=self.heads if not last else 1,
@@ -81,11 +104,13 @@ class EllBathymetricGNN(nn.Module):
     predict_correction: bool = True
     feature_extractor_layers: int = 2
     edge_dim: Optional[int] = 3
+    sparse_kernel: str = "xla"
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, g: EllGraph, deterministic: bool = True,
-                 use_running_average: Optional[bool] = None
-                 ) -> Dict[str, jax.Array]:
+                 use_running_average: Optional[bool] = None,
+                 banded=None) -> Dict[str, jax.Array]:
         x = MLPFeatureExtractor(
             self.hidden_channels, self.feature_extractor_layers,
             self.dropout, name="MLPFeatureExtractor_0",
@@ -95,8 +120,10 @@ class EllBathymetricGNN(nn.Module):
             num_layers=self.num_layers, gnn_type=self.gnn_type,
             heads=self.heads, dropout=self.dropout,
             edge_dim=self.edge_dim if self.gnn_type == "GAT" else None,
+            sparse_kernel=self.sparse_kernel,
+            compute_dtype=self.compute_dtype,
             name="GNNBackbone_0",
-        )(g, x, deterministic, use_running_average)
+        )(g, x, deterministic, use_running_average, banded=banded)
         logits = ClassificationHead(
             self.hidden_channels, self.num_classes, self.dropout,
             name="ClassificationHead_0")(x, deterministic)
@@ -115,8 +142,9 @@ class EllBathymetricGNN(nn.Module):
         return out
 
 
-def make_ell_model(model_cfg, in_channels: int, edge_dim: int = 3
-                   ) -> EllBathymetricGNN:
+def make_ell_model(model_cfg, in_channels: int, edge_dim: int = 3,
+                   sparse_kernel: str = "xla",
+                   compute_dtype: str = "float32") -> EllBathymetricGNN:
     return EllBathymetricGNN(
         hidden_channels=model_cfg.hidden_channels,
         num_layers=model_cfg.num_layers,
@@ -127,4 +155,6 @@ def make_ell_model(model_cfg, in_channels: int, edge_dim: int = 3
         predict_correction=model_cfg.predict_correction,
         feature_extractor_layers=model_cfg.feature_extractor_layers,
         edge_dim=edge_dim,
+        sparse_kernel=sparse_kernel,
+        compute_dtype=compute_dtype,
     )

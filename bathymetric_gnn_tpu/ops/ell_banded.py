@@ -1,0 +1,247 @@
+"""Banded ELL layout: the TPU-kernel-friendly sparse graph format.
+
+The plain ELL path (ops/ell.py) is gather-bound: XLA TPU gathers run at
+a few percent of HBM peak regardless of locality (benchmarks/RESULTS.md,
+Morton A/B). The banded layout makes the sparse GAT layer MXU-friendly
+instead:
+
+* Nodes are Morton-ordered (data/graph_build.build_knn_graph does this),
+  so almost every k-NN edge connects nodes whose indices differ by less
+  than one band of ``R`` rows.
+* Destinations are processed in bands of ``R`` rows. Each band's kernel
+  invocation holds a 3-band source *window* ``[3R, F]`` resident in VMEM
+  (chunks t-1, t, t+1 of the node features).
+* An edge is **in-band** iff its source chunk is within +-1 of its
+  destination chunk. In-band sources are addressed by a *local window
+  index* ``loc = (src_chunk - dst_chunk + 1) * R + src % R`` in
+  ``[0, 3R)``; gathering becomes a one-hot matmul against the resident
+  window (MXU work, no HBM gather at all).
+* The few out-of-window edges (**spill**, ~1% after Hilbert ordering)
+  are compacted to a COO list and folded in by a cheap XLA segment pass.
+  Softmax stays EXACT across the split by renormalization: the band part
+  computes softmax over in-band slots (+ self) only and emits each row's
+  logsumexp statistics (max ``m``, denominator ``D``); the spill pass
+  then rescales ``y = (y_band * D + Σ e_s · xh_s) / (D + Σ e_s)`` with
+  ``e_s = exp(l_s − m)`` — the exact joint softmax, no pre-scatter of
+  spill logits into the streamed arrays (profiling showed that scatter
+  cost more than the band kernel itself).
+
+This replaces the PyG scatter/gather conv kernels for the k-NN configs
+(reference: models/gnn.py:120-143; BASELINE.json "SpMM+SDDMM ... static
+edge-count bucketing").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ell import EllGraph
+
+NEG_BIG = -1e30  # pre-LeakyReLU "minus infinity" for dead slots
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BandedEll:
+    """Band/spill decomposition of an EllGraph's incidence structure.
+
+    Attributes:
+      loc_t:      [K, N] int32 — in-band local window index in [0, 3R),
+                  or -1 for dead/spilled slots. Transposed (slot-major,
+                  node-minor) so the Pallas stream is lane-clean.
+      spill_src:  [S] int32 source node of each spilled edge (0-padded).
+      spill_dst:  [S] int32 destination node.
+      spill_slot: [S] int32 ELL slot of the spilled edge in its dst row.
+      spill_mask: [S] bool live-spill mask.
+      band_rows:  R (static).
+    """
+
+    loc_t: jax.Array
+    spill_src: jax.Array
+    spill_dst: jax.Array
+    spill_slot: jax.Array
+    spill_mask: jax.Array
+    # static (per-graph) edge features in kernel-friendly layouts:
+    # transposed so N stays the minor dim (an [N, K, H] tensor tile-pads
+    # its 4 lanes to 128 = 32x physical HBM traffic — round-1 lesson)
+    eattr_t: jax.Array      # [K, Fe, N]
+    mean_attr_t: jax.Array  # [Fe, N] masked mean of incoming edge attrs
+    spill_eattr: jax.Array  # [S, Fe] edge attrs of spilled edges
+    band_rows: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_bands(self) -> int:
+        return self.loc_t.shape[1] // self.band_rows
+
+    def spill_fraction(self, g: EllGraph) -> float:
+        live = float(np.asarray(g.nbr_mask).sum())
+        return float(np.asarray(self.spill_mask).sum()) / max(live, 1.0)
+
+
+def band_ell(g: EllGraph, band_rows: int = 256,
+             spill_pad: int = 512) -> BandedEll:
+    """Host-side band/spill split of an EllGraph (Morton-ordered nodes).
+
+    N must be a multiple of ``band_rows`` (EllGraphs are bucket-padded to
+    powers of two, so R in {128, 256, 512} always divides N).
+    """
+    src = np.asarray(g.nbr_src)          # [N, K]
+    mask = np.asarray(g.nbr_mask)
+    n, k = src.shape
+    r = int(band_rows)
+    if n % r != 0:
+        raise ValueError(f"N={n} not a multiple of band_rows={r}")
+
+    dst_chunk = (np.arange(n) // r)[:, None]          # [N, 1]
+    src_chunk = src // r                              # [N, K]
+    j = src_chunk - dst_chunk + 1
+    in_band = mask & (j >= 0) & (j <= 2)
+    loc = np.where(in_band, j * r + src % r, -1).astype(np.int32)
+
+    spill = mask & ~in_band
+    sd, sk = np.nonzero(spill)
+    s = len(sd)
+    pad = max(int(spill_pad), 1)
+    while pad < s:
+        pad *= 2
+    spill_src = np.zeros(pad, np.int32)
+    spill_dst = np.zeros(pad, np.int32)
+    spill_slot = np.zeros(pad, np.int32)
+    spill_m = np.zeros(pad, bool)
+    spill_src[:s] = src[sd, sk]
+    spill_dst[:s] = sd
+    spill_slot[:s] = sk
+    spill_m[:s] = True
+
+    eattr = np.asarray(g.edge_attr, np.float32)           # [N, K, Fe]
+    fe = eattr.shape[-1]
+    eattr_t = np.ascontiguousarray(eattr.transpose(1, 2, 0))
+    cnt = np.maximum(mask.sum(1), 1.0)
+    mean_attr = (eattr * mask[..., None]).sum(1) / cnt[:, None]
+    spill_eattr = np.zeros((pad, fe), np.float32)
+    spill_eattr[:s] = eattr[sd, sk]
+
+    return BandedEll(
+        loc_t=jnp.asarray(np.ascontiguousarray(loc.T)),
+        spill_src=jnp.asarray(spill_src),
+        spill_dst=jnp.asarray(spill_dst),
+        spill_slot=jnp.asarray(spill_slot),
+        spill_mask=jnp.asarray(spill_m),
+        eattr_t=jnp.asarray(eattr_t),
+        mean_attr_t=jnp.asarray(np.ascontiguousarray(mean_attr.T)),
+        spill_eattr=jnp.asarray(spill_eattr),
+        band_rows=r,
+    )
+
+
+def banded_window_source(banded: BandedEll) -> jax.Array:
+    """[K, N] global source index each in-band slot refers to (for the
+    XLA reference path): chunk (dst_chunk + j - 1), row loc % R."""
+    k, n = banded.loc_t.shape
+    r = banded.band_rows
+    dst_chunk = jnp.arange(n, dtype=jnp.int32)[None, :] // r
+    jj = banded.loc_t // r
+    gsrc = (dst_chunk + jj - 1) * r + banded.loc_t % r
+    return jnp.where(banded.loc_t >= 0, gsrc, 0)
+
+
+def banded_gat_band_part_xla(
+    xh: jax.Array,          # [N, H, C] transformed features
+    a_src: jax.Array,       # [N, H]
+    a_dst: jax.Array,       # [N, H]
+    el_e: jax.Array,        # [N, K, H] raw edge-attr logits (0 if no
+                            # edge features; garbage in dead slots is
+                            # masked from loc)
+    el_self: Optional[jax.Array],   # [N, H] self-loop logit part (edge
+                            # mean-attr term), or None for no self loop
+    banded: BandedEll,
+    negative_slope: float = 0.2,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """XLA reference of the Pallas band kernel's contract.
+
+    Returns (y_band [N, H, C], m [N, H], denom [N, H]): the softmax
+    aggregation over IN-BAND slots + the injected self loop, and its
+    logsumexp statistics. Spilled/dead slots are masked entirely (their
+    local index is -1); banded_gat_spill_pass folds spilled edges in
+    exactly by renormalizing with these statistics.
+    """
+    n, h_dim, c = xh.shape
+    in_band = banded.loc_t.T >= 0                        # [N, K]
+    gsrc = banded_window_source(banded).T                # [N, K]
+
+    logits = el_e + a_dst[:, None, :] + jnp.take(a_src, gsrc, axis=0)
+    logits = jax.nn.leaky_relu(logits, negative_slope)
+    logits = jnp.where(in_band[..., None], logits, NEG_BIG)
+
+    m = jnp.max(logits, axis=1)                          # [N, H]
+    if el_self is not None:
+        self_logit = jax.nn.leaky_relu(a_src + a_dst + el_self,
+                                       negative_slope)
+        m = jnp.maximum(m, self_logit)
+    if el_self is None:
+        # all-masked rows: keep m finite (see spill-pass renorm)
+        m = jnp.maximum(m, -1e4)
+    e = jnp.exp(logits - m[:, None, :])                  # masked -> 0
+    e = jnp.where(in_band[..., None], e, 0.0)
+    denom = jnp.sum(e, axis=1)
+    if el_self is not None:
+        e_self = jnp.exp(self_logit - m)
+        denom = denom + e_self
+    denom = jnp.maximum(denom, 1e-16)
+
+    w_in = e / denom[:, None, :]
+    nbr_x = jnp.take(xh, gsrc, axis=0)                   # [N, K, H, C]
+    y = jnp.sum(nbr_x * w_in[..., None], axis=1)
+    if el_self is not None:
+        y = y + xh * (e_self / denom)[..., None]
+    return y, m, denom
+
+
+def banded_gat_spill_pass(
+    y_band: jax.Array,      # [N, H, C]
+    m: jax.Array,           # [N, H]
+    denom: jax.Array,       # [N, H]
+    xh: jax.Array,          # [N, H, C]
+    a_src: jax.Array,
+    a_dst: jax.Array,
+    m_edge: Optional[jax.Array],    # [Fe, H] edge-logit matrix (None =
+                            # no edge features); spilled edges' logits
+                            # come from the static spill_eattr table
+    banded: BandedEll,
+    negative_slope: float = 0.2,
+) -> jax.Array:
+    """Fold the spilled edges into the band result EXACTLY by
+    renormalization: with in-band stats (m, D) and spill terms
+    e_s = exp(l_s − m),
+
+        y = (y_band · D + Σ_s e_s · xh_s) / (D + Σ_s e_s)
+
+    equals the softmax over ALL slots (m is just a shared reference
+    point; e_s stays well-scaled because all logits come from the same
+    attention distribution). S is tiny after Hilbert ordering and
+    spill_dst is sorted by construction, so the two segment-sums are
+    cheap."""
+    s_src, s_dst = banded.spill_src, banded.spill_dst
+    el_spill = (banded.spill_eattr @ m_edge if m_edge is not None
+                else 0.0)                                # [S, H]
+    logit = jax.nn.leaky_relu(
+        jnp.take(a_src, s_src, axis=0)
+        + jnp.take(a_dst, s_dst, axis=0)
+        + el_spill, negative_slope)                      # [S, H]
+    # clamp guards the (self-loop-free, all-edges-spilled) corner from
+    # overflowing; e^60 already makes in-band terms negligible
+    e_s = jnp.exp(jnp.minimum(logit - m[s_dst], 60.0))
+    e_s = jnp.where(banded.spill_mask[:, None], e_s, 0.0)
+    msg = jnp.take(xh, s_src, axis=0) * e_s[..., None]   # [S, H, C]
+    n = xh.shape[0]
+    sum_e = jax.ops.segment_sum(e_s, s_dst, num_segments=n,
+                                indices_are_sorted=True)
+    sum_msg = jax.ops.segment_sum(msg, s_dst, num_segments=n,
+                                  indices_are_sorted=True)
+    new_denom = denom + sum_e
+    return (y_band * denom[..., None] + sum_msg) / new_denom[..., None]
