@@ -103,14 +103,25 @@ class GridGATConv(nn.Module):
         cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
         # bf16 kernel I/O is inference-only (the custom-VJP training path
-        # stays f32), so it requires the fused-epilogue call (bn_scale set)
+        # stays f32), so it requires the fused-epilogue call (bn_scale set).
+        # Training (deterministic=False) uses the fused kernels too — both
+        # directions are Pallas (custom VJP backward kernel); attention
+        # dropout becomes a streamed multiplier mask generated here so the
+        # fwd and bwd kernels see the identical draw.
         pallas_ok = (self.use_pallas and self.edge_dim is not None
-                     and (deterministic or self.dropout == 0)
                      and (self.compute_dtype == "float32"
                           or bn_scale is not None))
         if pallas_ok:
+            dmask = None
+            if not deterministic and self.dropout > 0:
+                rng = self.make_rng("dropout")
+                keep = jax.random.bernoulli(
+                    rng, 1.0 - self.dropout,
+                    (k + 1, hds, hgt, wid))
+                dmask = keep.astype(jnp.float32) / (1.0 - self.dropout)
             return self._pallas_path(x, valid, nbr_mask, edge_attr,
-                                     bn_scale, bn_bias, fuse_relu)
+                                     bn_scale, bn_bias, fuse_relu,
+                                     dmask=dmask)
         assert bn_scale is None, "epilogue fusion requires the pallas path"
 
         w = self.param("lin_src", _glorot, (x.shape[-1], hds * c))
@@ -191,7 +202,8 @@ class GridGATConv(nn.Module):
         return offsets_for_connectivity(self.connectivity)
 
     def _pallas_path(self, x, valid, nbr_mask, edge_attr,
-                     bn_scale=None, bn_bias=None, fuse_relu=False):
+                     bn_scale=None, bn_bias=None, fuse_relu=False,
+                     dmask=None):
         """Fused single-kernel layer (ops/pallas/grid_gat_fused)."""
         from ..ops.pallas.grid_gat_fused import (fused_grid_gat,
                                                  fused_grid_gat_infer,
@@ -219,8 +231,8 @@ class GridGATConv(nn.Module):
                        else jnp.zeros(hds * c))
         args = (x, w_lin, a_src, a_dst, m_edge, edge_attr,
                 nbr_mask.astype(jnp.float32), valid.astype(jnp.float32),
-                kernel_bias, self.connectivity, self.negative_slope, True,
-                16, None)
+                kernel_bias, dmask, self.connectivity, self.negative_slope,
+                True, 16, None)
         cd = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
               else jnp.float32)
         if bn_scale is not None and direct:

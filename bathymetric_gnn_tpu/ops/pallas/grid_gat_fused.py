@@ -34,9 +34,18 @@ runs matmuls at bf16 MXU precision by default, so kernel-vs-XLA deltas
 there are dominated by XLA's own matmul rounding; interpret-mode CPU
 parity is tight.)
 
-Backward: custom_vjp whose residuals are the layer inputs; the backward
-pass re-runs the XLA reference formulation under jax.vjp (rematerialized —
-same recompute-vs-stash tradeoff as flash attention).
+Backward: custom_vjp with a dedicated Pallas backward kernel
+(_bwd_kernel): softmax weights are RECOMPUTED in-kernel from the streamed
+inputs (flash-attention-style remat — residuals are just the layer
+inputs), then the kernel emits dx plus per-row-block partial sums of the
+weight gradients (dW, d(W@[a_src|a_dst]), dM_edge, dbias) that XLA
+reduces across blocks. Ragged shapes fall back to jax.vjp of the XLA
+reference formulation.
+
+Attention dropout (training) is a STREAMED multiplier mask
+[K+1, heads, H, W] (bernoulli(keep)/keep, self-loop at index K) applied
+to the post-softmax weights in both kernels — generated outside with
+jax.random so fwd/bwd agree exactly and parity tests can pin the mask.
 """
 
 from __future__ import annotations
@@ -71,11 +80,8 @@ def _kernel(
     el,           # [K, heads, R, W] block — premasked edge logits
     el_self,      # [heads, R, W] block — self-loop edge logit term
     valid,        # [R, W] float block
-    bias,         # [1, HC]
-    bn_scale,     # [1, HC] fused BatchNorm scale*rsqrt(var+eps) (or ones)
-    bn_bias,      # [1, HC] fused BatchNorm bias - mean*scale2 (or zeros)
-    out_ref,      # [R, W, HC] block
-    *,
+    *rest,        # [dmask [K+1, heads, R, W] if has_dropout,] bias [1, HC],
+                  # bn_scale [1, HC], bn_bias [1, HC], out_ref [R, W, HC]
     offsets,
     R: int,
     W: int,
@@ -84,8 +90,14 @@ def _kernel(
     negative_slope: float,
     fuse_bn: bool,
     fuse_relu: bool,
+    has_dropout: bool = False,
     upcast_dots: bool = False,
 ):
+    if has_dropout:
+        dmask, bias, bn_scale, bn_bias, out_ref = rest
+    else:
+        dmask = None
+        bias, bn_scale, bn_bias, out_ref = rest
     HC = heads * C
     nk = len(offsets)
     # halo-extended block: row r of xe is grid row i*R + r - 1
@@ -150,6 +162,11 @@ def _kernel(
         w_self[h] = e_self * inv
         for k in range(nk):
             wts[k][h] = exps[k] * inv
+        if has_dropout:
+            dm = dmask[:]
+            w_self[h] = w_self[h] * dm[nk, h].astype(jnp.float32)
+            for k in range(nk):
+                wts[k][h] = wts[k][h] * dm[k, h].astype(jnp.float32)
 
     # head expansion: list of heads x [R, W] -> [R, W, HC] as one MXU
     # matmul per offset with a constant one-hot matrix, fed heads-major:
@@ -187,8 +204,11 @@ def _kernel(
 
 def _reference_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
                        nbr_mask, valid, bias, *, offsets, negative_slope,
-                       use_edge):
-    """XLA formulation (identical math) — used for backward + CPU checks."""
+                       use_edge, dmask=None):
+    """XLA formulation (identical math) — used for backward + CPU checks.
+
+    ``dmask`` [K+1, heads, H, W] multiplies the post-softmax attention
+    weights (attention dropout; self-loop at index K)."""
     hgt, wid, _ = x.shape
     heads = a_src_mat.shape[1]
     hc = w_lin.shape[1]
@@ -229,28 +249,38 @@ def _reference_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
     def eh(wts):
         return jnp.repeat(wts, c, axis=-1)
 
-    acc = xh * eh(jnp.exp(self_lg - m) / denom)
+    w_self_ = jnp.exp(self_lg - m) / denom
+    wts_ = [exps[k] / denom for k in range(len(offsets))]
+    if dmask is not None:
+        w_self_ = w_self_ * jnp.moveaxis(dmask[len(offsets)], 0, -1)
+        wts_ = [wk * jnp.moveaxis(dmask[k], 0, -1)
+                for k, wk in enumerate(wts_)]
+    acc = xh * eh(w_self_)
     for k, (dr, dc) in enumerate(offsets):
-        acc = acc + shift2(xh, dr, dc) * eh(exps[k] / denom)
+        acc = acc + shift2(xh, dr, dc) * eh(wts_[k])
     acc = acc + bias.reshape(1, 1, hc)
     return acc * (valid[..., None] > 0)
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(9, 10, 11, 12, 13))
+                   nondiff_argnums=(10, 11, 12, 13, 14))
 def fused_grid_gat(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
-                   valid, bias, connectivity, negative_slope, use_edge,
-                   block_rows, interpret):
+                   valid, bias, dmask, connectivity, negative_slope,
+                   use_edge, block_rows, interpret):
     """Fused GAT layer: returns [H, W, heads*C] (pre-BatchNorm, pre-concat
-    semantics already applied — caller reshapes/means heads)."""
+    semantics already applied — caller reshapes/means heads).
+
+    ``dmask`` (or None): [K+1, heads, H, W] attention-dropout multipliers
+    applied to the post-softmax weights; streamed into both kernels."""
     return _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
                           nbr_mask, valid, bias, connectivity,
-                          negative_slope, use_edge, block_rows, interpret)
+                          negative_slope, use_edge, block_rows, interpret,
+                          dmask=dmask)
 
 
 def fused_grid_gat_infer(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
-                         nbr_mask, valid, bias, connectivity, negative_slope,
-                         use_edge, block_rows, interpret, *,
+                         nbr_mask, valid, bias, dmask, connectivity,
+                         negative_slope, use_edge, block_rows, interpret, *,
                          bn_scale=None, bn_bias=None, fuse_relu=False,
                          compute_dtype=jnp.float32):
     """Inference-only fused layer with an optional fused epilogue: the
@@ -263,6 +293,7 @@ def fused_grid_gat_infer(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
     and the MXU in bf16 (halving the dominant traffic) while keeping all
     softmax math and matmul accumulation in f32; the output is written
     bf16 so consecutive layers chain without recasting."""
+    assert dmask is None, "dropout is a training-only feature"
     return _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
                           nbr_mask, valid, bias, connectivity,
                           negative_slope, use_edge, block_rows, interpret,
@@ -273,7 +304,7 @@ def fused_grid_gat_infer(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
 def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
                    valid, bias, connectivity, negative_slope, use_edge,
                    block_rows, interpret, bn_scale=None, bn_bias=None,
-                   fuse_relu=False, compute_dtype=jnp.float32):
+                   fuse_relu=False, compute_dtype=jnp.float32, dmask=None):
     offsets = _offsets(connectivity)
     hgt, wid, f_in = x.shape
     heads = a_src_mat.shape[1]
@@ -296,7 +327,7 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
         out = _reference_forward(
             x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask, valid,
             bias, offsets=offsets, negative_slope=negative_slope,
-            use_edge=use_edge)
+            use_edge=use_edge, dmask=dmask)
         if fuse_bn:
             out = out * bn_scale + bn_bias
         if fuse_relu:
@@ -341,13 +372,21 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
 
     if interpret is None:
         interpret = _interpret_default()
+    has_dropout = dmask is not None
     kern = functools.partial(
         _kernel, offsets=offsets, R=r, W=wid, heads=heads, C=c,
         negative_slope=negative_slope, fuse_bn=fuse_bn, fuse_relu=fuse_relu,
+        has_dropout=has_dropout,
         upcast_dots=bool(interpret) and lowp,
     )
     sc2 = (bn_scale if fuse_bn else jnp.ones(hc)).reshape(1, hc)
     bi2 = (bn_bias if fuse_bn else jnp.zeros(hc)).reshape(1, hc)
+    dm_specs, dm_args = [], []
+    if has_dropout:
+        dm_specs = [pl.BlockSpec((k + 1, heads, r, wid),
+                                 lambda i: (0, 0, i, 0),
+                                 memory_space=pltpu.VMEM)]
+        dm_args = [dmask.astype(compute_dtype)]
     return pl.pallas_call(
         kern,
         grid=(nb,),
@@ -366,6 +405,7 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r, wid), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            *dm_specs,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -378,35 +418,455 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
         ),
         interpret=interpret,
     )(xr, halo_top, halo_bot, w_lin, wa_cat, el, el_self,
-      valid.astype(jnp.float32), bias.reshape(1, -1), sc2, bi2)
+      valid.astype(jnp.float32), *dm_args, bias.reshape(1, -1), sc2, bi2)
+
+
+def _bwd_kernel(
+    x_blk,       # [1, R, W, F]
+    x_top,       # [1, 2, W, F]  x rows iR-2, iR-1 (zero-filled OOB)
+    x_bot,       # [1, 2, W, F]  x rows iR+R, iR+R+1
+    g_blk,       # [1, R, W, HC] output cotangent
+    g_top,       # [1, 1, W, HC]
+    g_bot,       # [1, 1, W, HC]
+    w_lin,       # [F, HC]
+    wa_cat,      # [F, 2*heads]
+    el,          # [K, heads, R, W] premasked edge logits (center rows)
+    el_top,      # [1, K, heads, W] (NEG-filled OOB) — nb-leading layouts
+    el_bot,      # [1, K, heads, W]    keep block last-two dims full-size
+    el_self,     # [heads, R, W]       (Mosaic tiling rule)
+    els_top,     # [1, heads, W] (zero-filled OOB)
+    els_bot,     # [1, heads, W]
+    valid_blk,   # [R, W] float
+    v_top,       # [1, 1, W] (zero OOB)
+    v_bot,       # [1, 1, W]
+    ea_t,        # [K, ED, R, W] transposed edge attrs (center rows)
+    ma_t,        # [ED, R, W] transposed self-loop mean attrs
+    *rest,       # [dmask/dm_top/dm_bot if has_dropout,] then outputs:
+                 # dx_ref [R, W, F], dw_ref [1, F, HC],
+                 # dwa_ref [1, F, 2*heads], dme_ref [1, ED, heads],
+                 # db_ref [1, 1, HC]
+    offsets,
+    R: int,
+    W: int,
+    heads: int,
+    C: int,
+    ED: int,
+    negative_slope: float,
+    has_dropout: bool,
+    upcast_dots: bool = False,
+):
+    """Backward of the fused layer for one row block.
+
+    Recomputes the attention softmax on the extended dst domain
+    [-1, R+1) (one halo row each side — those rows' weights gate
+    cross-block cotangent flow into this block's rows), then emits the
+    complete dx for the center rows plus per-block partial weight grads.
+    """
+    if has_dropout:
+        (dmask, dm_top, dm_bot, dx_ref, dw_ref, dwa_ref, dme_ref,
+         db_ref) = rest
+    else:
+        dmask = dm_top = dm_bot = None
+        dx_ref, dw_ref, dwa_ref, dme_ref, db_ref = rest
+
+    HC = heads * C
+    nk = len(offsets)
+    Rh = R + 2                       # dst rows -1 .. R+1 (relative)
+    # xe row r <-> grid row i*R + r - 2;  dst row d <-> xe row d + 2
+    xe = jnp.concatenate([x_top[0], x_blk[0], x_bot[0]], axis=0)
+    xe2 = xe.reshape((R + 4) * W, xe.shape[-1])
+    if upcast_dots:
+        xe2 = xe2.astype(jnp.float32)
+        w_mat, wa_mat = w_lin[:].astype(jnp.float32), wa_cat[:].astype(
+            jnp.float32)
+    else:
+        w_mat, wa_mat = w_lin[:], wa_cat[:]
+    xh_e = jnp.dot(xe2, w_mat, preferred_element_type=jnp.float32
+                   ).reshape(R + 4, W, HC)
+    ad = jnp.dot(xe2, wa_mat, preferred_element_type=jnp.float32)
+    adT = ad.T.reshape(2 * heads, R + 4, W)
+
+    ge = jnp.concatenate([g_top[0], g_blk[0], g_bot[0]], axis=0)  # [Rh,W,HC]
+    ve = jnp.concatenate([v_top[0], valid_blk[:], v_bot[0]],
+                         axis=0)                                  # [Rh, W]
+    g_eff = ge.astype(jnp.float32) * (ve[..., None] > 0)
+
+    def leaky(v):
+        return jnp.where(v >= 0, v, negative_slope * v)
+
+    def dleaky(v):
+        return jnp.where(v >= 0, 1.0, negative_slope)
+
+    # ---- recompute per-(offset, head) logits + softmax on [Rh, W] ----
+    lgs = [[None] * heads for _ in range(nk)]   # post-LeakyReLU logits
+    lg_self = [None] * heads
+    wts = [[None] * heads for _ in range(nk)]   # softmax weights (no drop)
+    w_self = [None] * heads
+    for h in range(heads):
+        a_src_h = adT[h]                        # [R+4, W]
+        a_dst_h = adT[heads + h][1:R + 3]       # [Rh, W]
+        els_h = jnp.concatenate(
+            [els_top[0, h][None], el_self[h], els_bot[0, h][None]],
+            0).astype(jnp.float32)
+        sl = leaky(a_src_h[1:R + 3] + a_dst_h + els_h)
+        lg_self[h] = sl
+        m = sl
+        for k, (dr, dc) in enumerate(offsets):
+            elb_kh = jnp.concatenate(
+                [el_top[0, k, h][None], el[k, h], el_bot[0, k, h][None]], 0
+            ).astype(jnp.float32)
+            a_n = pltpu.roll(a_src_h[1 + dr:1 + dr + Rh], (-dc) % W, 1)
+            lg = leaky(a_n + a_dst_h + elb_kh)
+            lgs[k][h] = lg
+            m = jnp.maximum(m, lg)
+        e_self = jnp.exp(sl - m)
+        denom = e_self
+        exps = []
+        for k in range(nk):
+            e = jnp.exp(lgs[k][h] - m)
+            exps.append(e)
+            denom = denom + e
+        inv = 1.0 / jnp.maximum(denom, 1e-16)
+        w_self[h] = e_self * inv
+        for k in range(nk):
+            wts[k][h] = exps[k] * inv
+
+    def dm_at(k, h):                  # dropout multiplier on [Rh, W]
+        return jnp.concatenate(
+            [dm_top[0, k, h][None], dmask[k, h], dm_bot[0, k, h][None]], 0
+        ).astype(jnp.float32)
+
+    # ---- d(softmax weights) from the aggregation: dwts'_kh = xh_n . g ----
+    head_of_col = jax.lax.broadcasted_iota(jnp.int32, (heads, HC), 1) // C
+    head_row = jax.lax.broadcasted_iota(jnp.int32, (heads, HC), 0)
+    expand_mat = (head_of_col == head_row).astype(jnp.float32)
+
+    def collapse_heads(p3):           # [Rh, W, HC] -> [heads, Rh, W]
+        p2 = p3.reshape(Rh * W, HC)
+        r2 = jax.lax.dot_general(expand_mat, p2, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return r2.reshape(heads, Rh, W)
+
+    def expand_heads(per_head, rows):  # heads x [rows, W] -> [rows, W, HC]
+        ws_t = jnp.stack(per_head, axis=0).reshape(heads, rows * W)
+        return jax.lax.dot_general(
+            ws_t, expand_mat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(rows, W, HC)
+
+    dws_self = collapse_heads(xh_e[1:R + 3] * g_eff)     # [heads, Rh, W]
+    if has_dropout:
+        dws_self_m = [dws_self[h] * dm_at(nk, h) for h in range(heads)]
+    else:
+        dws_self_m = [dws_self[h] for h in range(heads)]
+    dwk = []                                             # chained cotangents
+    for k, (dr, dc) in enumerate(offsets):
+        xh_n = pltpu.roll(xh_e[1 + dr:1 + dr + Rh], (-dc) % W, 1)
+        ck = collapse_heads(xh_n * g_eff)
+        if has_dropout:
+            dwk.append([ck[h] * dm_at(k, h) for h in range(heads)])
+        else:
+            dwk.append([ck[h] for h in range(heads)])
+
+    # ---- softmax + LeakyReLU backward -> d(raw logits) ----
+    d_raw = [[None] * heads for _ in range(nk)]
+    d_raw_self = [None] * heads
+    for h in range(heads):
+        s_h = w_self[h] * dws_self_m[h]
+        for k in range(nk):
+            s_h = s_h + wts[k][h] * dwk[k][h]
+        d_raw_self[h] = (w_self[h] * (dws_self_m[h] - s_h)
+                         * dleaky(lg_self[h]))
+        for k in range(nk):
+            d_raw[k][h] = wts[k][h] * (dwk[k][h] - s_h) * dleaky(lgs[k][h])
+
+    # ---- dM_edge partial (center rows only) ----
+    # ONE dot over the concatenation of all (offset, self) blocks: Mosaic
+    # lowers tiny-output dots to multi_reductions and rejects chained
+    # `acc + dot(...)` adds ("only constant accumulators supported"), so
+    # the per-offset contributions must share a single zero-initialized
+    # contraction.
+    d_all = jnp.concatenate(
+        [jnp.stack([d_raw[k][h][1:R + 1] for h in range(heads)],
+                   0).reshape(heads, R * W) for k in range(nk)]
+        + [jnp.stack([d_raw_self[h][1:R + 1] for h in range(heads)],
+                     0).reshape(heads, R * W)], axis=1)
+    e_all = jnp.concatenate(
+        [ea_t[k].astype(jnp.float32).reshape(ED, R * W) for k in range(nk)]
+        + [ma_t[:].astype(jnp.float32).reshape(ED, R * W)], axis=1)
+    dme_acc = jax.lax.dot_general(e_all, d_all, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+
+    # ---- d(a_src), d(a_dst) for center rows ----
+    d_ad_list = []                     # 2*heads x [R, W]: a_src then a_dst
+    for h in range(heads):
+        acc_s = d_raw_self[h][1:R + 1]
+        for k, (dr, dc) in enumerate(offsets):
+            # dst d used a_src at j = d + dr  ->  j's cotangent pulls from
+            # d = j - dr (Rh index j + 1 - dr), columns rolled back by +dc
+            sl = d_raw[k][h][1 - dr:1 - dr + R]
+            acc_s = acc_s + pltpu.roll(sl, dc % W, 1)
+        d_ad_list.append(acc_s)
+    for h in range(heads):
+        acc_d = d_raw_self[h][1:R + 1]
+        for k in range(nk):
+            acc_d = acc_d + d_raw[k][h][1:R + 1]
+        d_ad_list.append(acc_d)
+    d_ad_st = jnp.stack(d_ad_list, 0).reshape(2 * heads, R * W)
+
+    # ---- d(xh) from the aggregation (center rows) ----
+    if has_dropout:
+        w_self_eff = [w_self[h] * dm_at(nk, h) for h in range(heads)]
+    else:
+        w_self_eff = w_self
+    dxh = expand_heads([w_self_eff[h][1:R + 1] for h in range(heads)],
+                       R) * g_eff[1:R + 1]
+    for k, (dr, dc) in enumerate(offsets):
+        if has_dropout:
+            wk_eff = [wts[k][h] * dm_at(k, h) for h in range(heads)]
+        else:
+            wk_eff = wts[k]
+        u_k = expand_heads(wk_eff, Rh) * g_eff            # [Rh, W, HC]
+        dxh = dxh + pltpu.roll(u_k[1 - dr:1 - dr + R], dc % W, 1)
+
+    # ---- matmul epilogue: dx and per-block weight-grad partials ----
+    dxh2 = dxh.reshape(R * W, HC)
+    dx = jax.lax.dot_general(dxh2, w_mat, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dx = dx + jax.lax.dot_general(d_ad_st, wa_mat, (((0,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dx_ref[:] = dx.reshape(R, W, -1)
+
+    xe_c2 = xe2.reshape(R + 4, W, -1)[2:R + 2].reshape(R * W, -1)
+    if upcast_dots:
+        xe_c2 = xe_c2.astype(jnp.float32)
+    dw_ref[0] = jax.lax.dot_general(xe_c2, dxh2, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    dwa_ref[0] = jax.lax.dot_general(xe_c2, d_ad_st,
+                                     (((0,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dme_ref[0] = dme_acc
+    db_ref[0] = jnp.sum(g_eff.reshape(Rh, W, HC)[1:R + 1].reshape(R * W, HC),
+                        axis=0, keepdims=True)
+
+
+def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
+                    valid, bias, dmask, g, connectivity, negative_slope,
+                    use_edge, block_rows, interpret):
+    """Pallas backward: returns (dx, dw_lin, da_src_mat, da_dst_mat,
+    dm_edge, dbias). Caller guarantees the shape tiles (same rule as the
+    forward kernel)."""
+    offsets = _offsets(connectivity)
+    hgt, wid, f_in = x.shape
+    heads = a_src_mat.shape[1]
+    hc = w_lin.shape[1]
+    c = hc // heads
+    ed = m_edge.shape[0]
+    k = len(offsets)
+    r = block_rows
+    while r > 8 and (hgt % r != 0 or hgt < 2 * r):
+        r //= 2
+    nb = hgt // r
+
+    x32 = x.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    valid_f = valid.astype(jnp.float32)
+
+    # el precompute — identical to the forward
+    nbm4 = nbr_mask[:, None] > 0
+    ea32 = eattr.astype(jnp.float32)
+    me32 = m_edge.astype(jnp.float32)
+    el = jnp.where(nbm4, jnp.einsum("khwf,fa->kahw", ea32, me32), NEG)
+    cnt = jnp.maximum(jnp.sum(nbr_mask, 0), 1.0)[..., None]
+    mean_attr = jnp.sum(jnp.where(nbr_mask[..., None] > 0, ea32, 0.0),
+                        0) / cnt
+    el_self = jnp.einsum("hwf,fa->ahw", mean_attr, me32)
+    wa_cat = jnp.concatenate([w_lin @ a_src_mat, w_lin @ a_dst_mat], axis=1)
+    ea_t = jnp.einsum("khwf->kfhw", ea32)
+    ma_t = jnp.einsum("hwf->fhw", mean_attr)
+
+    xr = x32.reshape(nb, r, wid, f_in)
+    z1 = jnp.zeros((1, wid, f_in), jnp.float32)
+    # 2-row x halos: rows (iR-2, iR-1) and (iR+R, iR+R+1)
+    t0 = jnp.concatenate([z1, x32[r - 2::r][:nb - 1]], 0)
+    t1 = jnp.concatenate([z1, x32[r - 1::r][:nb - 1]], 0)
+    x_top = jnp.stack([t0, t1], axis=1)                    # [nb, 2, W, F]
+    b0 = jnp.concatenate([x32[r::r], z1], 0)
+    b1 = jnp.concatenate([x32[r + 1::r][:nb - 1], z1], 0)
+    x_bot = jnp.stack([b0, b1], axis=1)
+
+    zg = jnp.zeros((1, 1, wid, hc), jnp.float32)
+    gr = g32.reshape(nb, r, wid, hc)
+    g_top = jnp.concatenate([zg, g32[r - 1::r][:nb - 1][:, None]], 0)
+    g_bot = jnp.concatenate([g32[r::r][:, None], zg], 0)
+
+    # halo side arrays carry the block index LEADING so every block's
+    # last-two dims stay full-size (Mosaic tiling rule for small dims)
+    negrow = jnp.full((1, k, heads, wid), NEG, jnp.float32)
+    el_top = jnp.concatenate(
+        [negrow, jnp.moveaxis(el[:, :, r - 1::r, :][:, :, :nb - 1], 2, 0)],
+        0)                                                # [nb, K, heads, W]
+    el_bot = jnp.concatenate(
+        [jnp.moveaxis(el[:, :, r::r, :], 2, 0), negrow], 0)
+    zs = jnp.zeros((1, heads, wid), jnp.float32)
+    els_top = jnp.concatenate(
+        [zs, jnp.moveaxis(el_self[:, r - 1::r][:, :nb - 1], 1, 0)], 0)
+    els_bot = jnp.concatenate(
+        [jnp.moveaxis(el_self[:, r::r], 1, 0), zs], 0)    # [nb, heads, W]
+    zv = jnp.zeros((1, 1, wid), jnp.float32)
+    v_top = jnp.concatenate(
+        [zv, valid_f[r - 1::r][:nb - 1][:, None]], 0)     # [nb, 1, W]
+    v_bot = jnp.concatenate([valid_f[r::r][:, None], zv], 0)
+
+    has_dropout = dmask is not None
+    dm_args, dm_specs = [], []
+    if has_dropout:
+        dm32 = dmask.astype(jnp.float32)
+        onerow = jnp.ones((1, k + 1, heads, wid), jnp.float32)
+        dm_top = jnp.concatenate(
+            [onerow,
+             jnp.moveaxis(dm32[:, :, r - 1::r, :][:, :, :nb - 1], 2, 0)], 0)
+        dm_bot = jnp.concatenate(
+            [jnp.moveaxis(dm32[:, :, r::r, :], 2, 0), onerow], 0)
+        dm_args = [dm32, dm_top, dm_bot]
+        dm_specs = [
+            pl.BlockSpec((k + 1, heads, r, wid), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k + 1, heads, wid), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k + 1, heads, wid), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    if interpret is None:
+        interpret = _interpret_default()
+    kern = functools.partial(
+        _bwd_kernel, offsets=offsets, R=r, W=wid, heads=heads, C=c, ED=ed,
+        negative_slope=negative_slope, has_dropout=has_dropout,
+        upcast_dots=False,
+    )
+    dx, dw_p, dwa_p, dme_p, db_p = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, r, wid, f_in), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, wid, f_in), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, wid, f_in), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, wid, hc), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, wid, hc), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, wid, hc), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # w_lin
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # wa_cat
+            pl.BlockSpec((k, heads, r, wid), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, heads, wid), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, heads, wid), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, r, wid), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, heads, wid), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, heads, wid), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, wid), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, wid), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, wid), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, ed, r, wid), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ed, r, wid), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            *dm_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((r, wid, f_in), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f_in, hc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f_in, 2 * heads), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ed, heads), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((hgt, wid, f_in), jnp.float32),
+            jax.ShapeDtypeStruct((nb, f_in, hc), jnp.float32),
+            jax.ShapeDtypeStruct((nb, f_in, 2 * heads), jnp.float32),
+            jax.ShapeDtypeStruct((nb, ed, heads), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, hc), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xr, x_top, x_bot, gr, g_top, g_bot, w_lin.astype(jnp.float32),
+      wa_cat.astype(jnp.float32), el, el_top, el_bot, el_self, els_top,
+      els_bot, valid_f, v_top, v_bot, ea_t, ma_t, *dm_args)
+
+    dw = jnp.sum(dw_p, 0)
+    dwa = jnp.sum(dwa_p, 0)
+    dme = jnp.sum(dme_p, 0)
+    db = jnp.sum(db_p, 0)[0]
+    a_cat = jnp.concatenate([a_src_mat, a_dst_mat], axis=1)   # [HC, 2H]
+    dw_lin = dw + dwa @ a_cat.T
+    d_a = w_lin.T @ dwa                                       # [HC, 2H]
+    das, dad = d_a[:, :heads], d_a[:, heads:]
+    return (dx.astype(x.dtype), dw_lin.astype(w_lin.dtype),
+            das.astype(a_src_mat.dtype), dad.astype(a_dst_mat.dtype),
+            dme.astype(m_edge.dtype), db.astype(bias.dtype))
 
 
 def _fwd(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask, valid,
-         bias, connectivity, negative_slope, use_edge, block_rows,
+         bias, dmask, connectivity, negative_slope, use_edge, block_rows,
          interpret):
     out = _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
                          nbr_mask, valid, bias, connectivity,
-                         negative_slope, use_edge, block_rows, interpret)
+                         negative_slope, use_edge, block_rows, interpret,
+                         dmask=dmask)
     return out, (x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
-                 valid, bias)
+                 valid, bias, dmask)
 
 
 def _bwd(connectivity, negative_slope, use_edge, block_rows, interpret,
          residuals, g):
-    x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask, valid, bias = (
-        residuals)
+    (x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask, valid, bias,
+     dmask) = residuals
     offsets = _offsets(connectivity)
+    hgt = x.shape[0]
+    r = block_rows
+    while r > 8 and (hgt % r != 0 or hgt < 2 * r):
+        r //= 2
+    dmask_ct = None if dmask is None else jnp.zeros_like(dmask)
+
+    if hgt % r == 0 and hgt >= 2 * r and use_edge:
+        dx, dw, das, dad, dme, db = _fused_backward(
+            x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask, valid,
+            bias, dmask, g, connectivity, negative_slope, use_edge,
+            block_rows, interpret)
+        return (dx, dw, das, dad, dme, jnp.zeros_like(eattr),
+                jnp.zeros_like(nbr_mask), jnp.zeros_like(valid), db,
+                dmask_ct)
 
     def ref(x_, w_, as_, ad_, me_, b_):
         return _reference_forward(
             x_, w_, as_, ad_, me_, eattr, nbr_mask, valid, b_,
             offsets=offsets, negative_slope=negative_slope,
-            use_edge=use_edge)
+            use_edge=use_edge, dmask=dmask)
 
     _, vjp = jax.vjp(ref, x, w_lin, a_src_mat, a_dst_mat, m_edge, bias)
     dx, dw, das, dad, dme, db = vjp(g)
     return (dx, dw, das, dad, dme, jnp.zeros_like(eattr),
-            jnp.zeros_like(nbr_mask), jnp.zeros_like(valid), db)
+            jnp.zeros_like(nbr_mask), jnp.zeros_like(valid), db, dmask_ct)
 
 
 fused_grid_gat.defvjp(_fwd, _bwd)
