@@ -119,13 +119,15 @@ class GATConvEllBanded(nn.Module):
     def __call__(self, g: EllGraph, banded, x: jax.Array,
                  deterministic: bool = True) -> jax.Array:
         from ..ops.ell_banded import (banded_gat_band_part_xla,
-                                      banded_gat_spill_pass)
+                                      banded_gat_spill_pass,
+                                      banded_gat_spill_pass_flat)
 
         h, c = self.heads, self.out_channels
         n, k = g.nbr_src.shape
 
         w = self.param("lin_src", _glorot, (x.shape[-1], h * c))
-        xh = (x @ w).reshape(n, h, c)
+        xh2 = x @ w                        # [N, HC] flat (lane-clean)
+        xh = xh2.reshape(n, h, c)
 
         att_src = self.param("att_src", _glorot, (1, h, c))
         att_dst = self.param("att_dst", _glorot, (1, h, c))
@@ -160,11 +162,20 @@ class GATConvEllBanded(nn.Module):
             a_cat_mat = jnp.concatenate(
                 [diag * att_src.reshape(h * c)[:, None],
                  diag * att_dst.reshape(h * c)[:, None]], axis=1)
-            y, m, denom = ell_gat_band_part_pallas(
+            y2, m, denom = ell_gat_band_part_pallas(
                 xh, a_cat_mat, el_t, el_self_t, banded,
                 negative_slope=self.negative_slope,
                 compute_dtype=self.compute_dtype,
             )
+            # lane-clean spill fold on flat [N, HC] arrays (avoids the
+            # [N, H, C] relayout copies + broadcasts that dominated the
+            # first banded bench — benchmarks/RESULTS.md round 2)
+            out2 = banded_gat_spill_pass_flat(
+                y2, m, denom, xh2,
+                jnp.concatenate([a_src, a_dst], axis=1), m_edge, banded,
+                heads=h, negative_slope=self.negative_slope,
+            )
+            out = out2.reshape(n, h, c)
         else:
             if m_edge is not None:
                 el_e = g.edge_attr @ m_edge                   # [N, K, H]
@@ -178,10 +189,10 @@ class GATConvEllBanded(nn.Module):
                 xh, a_src, a_dst, el_e, el_self, banded,
                 negative_slope=self.negative_slope,
             )
-        out = banded_gat_spill_pass(
-            y, m, denom, xh, a_src, a_dst, m_edge, banded,
-            negative_slope=self.negative_slope,
-        )
+            out = banded_gat_spill_pass(
+                y, m, denom, xh, a_src, a_dst, m_edge, banded,
+                negative_slope=self.negative_slope,
+            )
 
         out = out.reshape(n, h * c) if self.concat else out.mean(1)
         if self.use_bias:

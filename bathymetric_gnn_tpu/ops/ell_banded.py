@@ -83,7 +83,7 @@ class BandedEll:
         return float(np.asarray(self.spill_mask).sum()) / max(live, 1.0)
 
 
-def band_ell(g: EllGraph, band_rows: int = 256,
+def band_ell(g: EllGraph, band_rows: int = 128,
              spill_pad: int = 512) -> BandedEll:
     """Host-side band/spill split of an EllGraph (Morton-ordered nodes).
 
@@ -245,3 +245,55 @@ def banded_gat_spill_pass(
                                   indices_are_sorted=True)
     new_denom = denom + sum_e
     return (y_band * denom[..., None] + sum_msg) / new_denom[..., None]
+
+
+def banded_gat_spill_pass_flat(
+    y2: jax.Array,          # [N, HC] UNNORMALIZED band sums (flat): the
+                            # Pallas band kernel emits sum(e*x) without
+                            # dividing, so one division happens here
+    m: jax.Array,           # [N, H]
+    denom: jax.Array,       # [N, H]
+    xh2: jax.Array,         # [N, HC] transformed features (flat)
+    ac: jax.Array,          # [N, 2H]  [a_src | a_dst] dots
+    m_edge: Optional[jax.Array],
+    banded: "BandedEll",
+    heads: int,
+    negative_slope: float = 0.2,
+) -> jax.Array:
+    """Lane-clean spill fold (same math as banded_gat_spill_pass).
+
+    The [N, H, C] formulation cost ~3 ms/layer in XLA glue on the 65k
+    bench: two row-gathers, a scatter, and [N, H, C]-layout broadcasts
+    (H=4 sublane-pads to 8, C=64 half-fills lanes) plus relayout copies.
+    This variant keeps every wide array [*, HC] (256 lanes), gathers ONE
+    combined [xh | a_src] table by spill source and one [a_dst | m] table
+    by spill destination, and expands head scalars with one-hot matmuls.
+    """
+    n, hc = xh2.shape
+    c = hc // heads
+    s_src, s_dst = banded.spill_src, banded.spill_dst
+    el_spill = (banded.spill_eattr @ m_edge if m_edge is not None
+                else 0.0)                                    # [S, H]
+
+    src_tab = jnp.concatenate([xh2, ac[:, :heads]], axis=1)  # [N, HC+H]
+    sg = jnp.take(src_tab, s_src, axis=0)
+    xh_s, a_src_s = sg[:, :hc], sg[:, hc:]
+    dst_tab = jnp.concatenate([ac[:, heads:], m], axis=1)    # [N, 2H]
+    dg = jnp.take(dst_tab, s_dst, axis=0)
+    a_dst_s, m_s = dg[:, :heads], dg[:, heads:]
+
+    logit = jax.nn.leaky_relu(a_src_s + a_dst_s + el_spill, negative_slope)
+    e_s = jnp.exp(jnp.minimum(logit - m_s, 60.0))
+    e_s = jnp.where(banded.spill_mask[:, None], e_s, 0.0)    # [S, H]
+
+    hoc = jax.lax.broadcasted_iota(jnp.int32, (heads, hc), 1) // c
+    hrow = jax.lax.broadcasted_iota(jnp.int32, (heads, hc), 0)
+    expand = (hoc == hrow).astype(y2.dtype)                  # [H, HC]
+
+    msg2 = xh_s * (e_s @ expand)                             # [S, HC]
+    sum_e = jax.ops.segment_sum(e_s, s_dst, num_segments=n,
+                                indices_are_sorted=True)
+    sum_msg2 = jax.ops.segment_sum(msg2, s_dst, num_segments=n,
+                                   indices_are_sorted=True)
+    new_denom = denom + sum_e
+    return (y2 + sum_msg2) / (new_denom @ expand)

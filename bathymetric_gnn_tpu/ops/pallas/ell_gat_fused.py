@@ -72,8 +72,16 @@ def _kernel(
     has_self: bool,
     upcast_dots: bool,
 ):
+    """Lane-clean formulation (2026-08-21 rework): ALL softmax math runs
+    on [H, R] arrays (R = minor/lane dim) — the first cut sliced [R, 1]
+    columns per (slot, head) and measured 9.3 ms/layer, issue-bound at
+    ~1% lane utilization. Attention-dot gathers come out transposed
+    ([2H, R]) directly from a dot_general against the one-hot masks, so
+    no column slicing ever happens; the only per-slot heavy op is the
+    feature gather matmul [R, W] x [W, HC] on the MXU."""
     W = 3 * R
     f32 = jnp.float32
+    HC = heads * C
 
     def leaky(v):
         return jnp.where(v >= 0, v, negative_slope * v)
@@ -86,78 +94,79 @@ def _kernel(
         xw = xw.astype(f32)
         a_mat = a_mat.astype(f32)
 
-    # attention dots for the whole window: [W, 2H]
-    ac_w = jnp.dot(xw, a_mat, preferred_element_type=f32)
-    a_cT = ac_w[R:2 * R]                            # center rows [R, 2H]
+    # attention dots for the whole window, TRANSPOSED: [2H, W]
+    ac_t = jax.lax.dot_general(a_mat, xw, (((0,), (1,)), ((), ())),
+                               preferred_element_type=f32)
+    ac_t_cd = ac_t.astype(xw.dtype)
+    a_dst_t = ac_t[heads:, R:2 * R]                             # [H, R]
 
-    locT = loc[:].T                                 # [R, K] small transpose
-    elT = el[:].astype(f32).T                       # [R, K*H]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    loc_v = loc[:]                                              # [K, R]
+    el_v = el[:].astype(f32)                                    # [K*H, R]
+    # TRANSPOSED one-hots [W, R]: oh_t[c, r] = (c == loc[k, r]). Built by
+    # broadcasting loc's native [1, R] lane layout against a dim-0 iota —
+    # no relayout — and consumed by NN/TN dot_generals only (an [R, W]
+    # one-hot needs either a per-slot [R,1] transpose to build or an NT
+    # contraction to use; both forced Mosaic relayouts and measured
+    # ~30 us/band).
+    rows_w = jax.lax.broadcasted_iota(jnp.int32, (W, R), 0)
 
-    onehots = []
-    gathers = []
-    ac_w_cd = ac_w.astype(xw.dtype)
+    # pass 1: one-hot masks + transposed attention-dot gathers + logits
+    onehots_t = []
+    lgs = []                                                    # [H, R] x K
     for k in range(K):
-        oh = (cols == locT[:, k:k + 1]).astype(xw.dtype)        # [R, W]
-        onehots.append(oh)
-        gathers.append(jnp.dot(oh, ac_w_cd,
-                               preferred_element_type=f32))     # [R, 2H]
+        oh_t = (rows_w == loc_v[k:k + 1, :]).astype(xw.dtype)   # [W, R]
+        onehots_t.append(oh_t)
+        g_ac = jnp.dot(ac_t_cd, oh_t,
+                       preferred_element_type=f32)              # [2H, R]
+        lg = leaky(g_ac[:heads] + a_dst_t + el_v[k * heads:(k + 1) * heads])
+        lgs.append(jnp.where(loc_v[k:k + 1, :] >= 0, lg, -1e30))
 
     if has_self:
-        el_sT = el_self[:].astype(f32).T                        # [R, H]
+        self_lg = leaky(ac_t[:heads, R:2 * R] + a_dst_t + el_self[:])
+        m = self_lg
+    else:
+        m = jnp.full((heads, R), -1e4, f32)
+    for k in range(K):
+        m = jnp.maximum(m, lgs[k])
+    denom = jnp.zeros((heads, R), f32)
+    exps = []
+    for k in range(K):
+        e = jnp.exp(lgs[k] - m)
+        exps.append(e)
+        denom = denom + e
+    if has_self:
+        e_self = jnp.exp(self_lg - m)
+        denom = denom + e_self
+    denom = jnp.maximum(denom, 1e-16)
 
-    # in-band mask per slot (loc == -1 means dead or spilled)
-    in_band = [locT[:, k:k + 1] >= 0 for k in range(K)]         # [R, 1] x K
+    # head expansion (one-hot matmul, as the grid kernel): [H, R]->[R, HC]
+    head_of_col = jax.lax.broadcasted_iota(jnp.int32, (heads, HC), 1) // C
+    head_row = jax.lax.broadcasted_iota(jnp.int32, (heads, HC), 0)
+    expand_mat = (head_of_col == head_row).astype(f32)
 
-    y_parts = []
-    m_parts = []
-    d_parts = []
-    for h in range(heads):
-        a_dst_h = a_cT[:, heads + h:heads + h + 1]              # [R, 1]
-        lgs = []
-        for k in range(K):
-            a_src_kh = gathers[k][:, h:h + 1]
-            lg = leaky(a_src_kh + a_dst_h + elT[:, k * heads + h:
-                                                k * heads + h + 1])
-            lgs.append(jnp.where(in_band[k], lg, -1e30))
-        L_h = jnp.concatenate(lgs, axis=1)                      # [R, K]
-        m_h = jnp.max(L_h, axis=1, keepdims=True)               # [R, 1]
-        if has_self:
-            self_lg = leaky(a_cT[:, h:h + 1] + a_dst_h
-                            + el_sT[:, h:h + 1])
-            m_h = jnp.maximum(m_h, self_lg)
-        else:
-            # all-masked rows: keep m finite so exp() stays 0 for masked
-            # slots and the spill renormalization stays well-defined
-            m_h = jnp.maximum(m_h, -1e4)
-        e_h = jnp.exp(L_h - m_h)                                # [R, K]
-        denom_h = jnp.sum(e_h, axis=1, keepdims=True)
-        if has_self:
-            e_self = jnp.exp(self_lg - m_h)
-            denom_h = denom_h + e_self
-        denom_h = jnp.maximum(denom_h, 1e-16)
-        inv = 1.0 / denom_h                                     # [R, 1]
+    def expand_heads(w_hr):                       # [H, R] -> [R, HC]
+        return jax.lax.dot_general(
+            w_hr, expand_mat, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
 
-        # aggregation matrix over in-band slots only (spill slots are
-        # loc==-1: their onehot rows are all-zero already, so masking is
-        # free — e_h columns for them still fed the denominator above)
-        A_h = jnp.zeros((R, W), f32)
-        for k in range(K):
-            A_h = A_h + e_h[:, k:k + 1] * onehots[k].astype(f32)
-        xw_h = xw[:, h * C:(h + 1) * C]                         # [W, C]
-        y_h = jnp.dot(A_h.astype(xw.dtype), xw_h,
-                      preferred_element_type=f32) * inv
-        if has_self:
-            y_h = y_h + (e_self * inv) * xw_b[:, h * C:(h + 1) * C
-                                              ].astype(f32)
-        y_parts.append(y_h)
-        m_parts.append(m_h)
-        d_parts.append(denom_h)
+    # pass 2: feature gathers + softmax-weighted accumulation (TN form:
+    # contract the W axis of the transposed one-hot with the window).
+    # y is emitted UNNORMALIZED (sum of e*x, not divided by denom): the
+    # spill fold divides once by the final denominator, so normalizing
+    # here would just cost an extra expand-multiply there.
+    if has_self:
+        y = expand_heads(e_self) * xw_b[:].astype(f32)
+    else:
+        y = jnp.zeros((R, HC), f32)
+    for k in range(K):
+        g_x = jax.lax.dot_general(onehots_t[k], xw,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32)   # [R, HC]
+        y = y + expand_heads(exps[k]) * g_x
 
-    y = jnp.concatenate(y_parts, axis=1)                        # [R, HC]
     y_ref[:] = y.astype(y_ref.dtype)
-    stats = jnp.concatenate(m_parts + d_parts, axis=1)          # [R, 2H]
-    stats_ref[:] = stats.T.astype(stats_ref.dtype)
+    stats_ref[:] = jnp.concatenate([m, denom], axis=0).astype(
+        stats_ref.dtype)
 
 
 @functools.partial(
@@ -234,8 +243,10 @@ def ell_gat_band_part_pallas(
     compute_dtype: str = "float32",
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Drop-in Pallas replacement for
-    ops.ell_banded.banded_gat_band_part_xla (same output contract)."""
+    """Pallas band pass. Returns (y_flat [N, HC], m [N, H], denom [N, H])
+    — y stays FLAT so the lane-clean spill fold
+    (ops.ell_banded.banded_gat_spill_pass_flat) avoids [N, H, C]
+    relayout copies."""
     if interpret is None:
         interpret = _interpret_default()
     n, h_dim, c = xh.shape
@@ -252,4 +263,4 @@ def ell_gat_band_part_pallas(
     )
     m = stats[:h_dim].T                                     # [N, H]
     denom = stats[h_dim:].T
-    return y.reshape(n, h_dim, c), m, denom
+    return y, m, denom                                      # y flat [N, HC]
