@@ -1,0 +1,124 @@
+"""Flagship-scale streaming inference: big-survey tiles/s under an RSS cap.
+
+BASELINE config #5 is a 60,000 x 60,000 survey (~3.6B cells, ~14 GB of f32
+per full-grid array) — far beyond what the reference's in-memory pipeline
+(reference: models/pipeline.py:160) can hold. This bench PROVES the
+O(band) streaming path: it synthesizes a survey directly to disk row-band
+by row-band (never materializing the grid), then runs
+StreamingPipeline.process_streaming and reports throughput and the
+process's peak RSS.
+
+Run: python benchmarks/streaming_survey_bench.py [--size 16384]
+     [--tile 256] [--rss-cap-gb 4]
+"""
+
+import argparse
+import json
+import resource
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def synthesize_survey_streaming(path, n, chunk=1024, seed=0):
+    """Write an [n, n] synthetic survey GeoTIFF in row bands (O(chunk*n)
+    memory): swell + shoal features + sensor noise + a swath gap."""
+    from bathymetric_gnn_tpu.io.geotiff import StreamingGeoTiffWriter
+
+    rg = np.random.default_rng(seed)
+    w = StreamingGeoTiffWriter(path, n, n, 1, pixel_scale=(1.0, 1.0),
+                               origin=(0.0, float(n)),
+                               nodata=float("nan"), rows_per_strip=chunk)
+    xx = np.arange(n, dtype=np.float32)[None, :]
+    for r0 in range(0, n, chunk):
+        r1 = min(r0 + chunk, n)
+        yy = np.arange(r0, r1, dtype=np.float32)[:, None]
+        band = (30 + 8 * np.sin(xx / 90) + 5 * np.cos(yy / 70)
+                + 2 * np.sin(xx / 17 + yy / 23)
+                + rg.normal(0, 0.05, (r1 - r0, n))).astype(np.float32)
+        band[:, n // 2 - 20:n // 2 - 10] = np.nan   # swath gap
+        w.write_rows(0, r0, band)
+    w.close()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=16384)
+    ap.add_argument("--tile", type=int, default=256)
+    ap.add_argument("--overlap", type=int, default=32)
+    ap.add_argument("--rss-cap-gb", type=float, default=4.0,
+                    help="fail if peak RSS exceeds this")
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    from bathymetric_gnn_tpu.config.config import (Config, ModelConfig,
+                                                   TileConfig)
+    from bathymetric_gnn_tpu.inference.streaming import StreamingPipeline
+
+    n = args.size
+    tmpdir = Path(tempfile.mkdtemp(prefix="stream_bench_"))
+    src = tmpdir / "survey.tif"
+    dst = tmpdir / "survey_clean.tif"
+
+    t0 = time.time()
+    synthesize_survey_streaming(src, n)
+    t_synth = time.time() - t0
+    print(f"# synthesized {n}x{n} survey in {t_synth:.1f}s "
+          f"({src.stat().st_size / 1e9:.2f} GB)", file=sys.stderr)
+
+    cfg = Config(
+        model=ModelConfig(hidden_channels=64, num_layers=4, heads=4,
+                          compute_dtype="bfloat16"),
+        tile=TileConfig(tile_size=args.tile, overlap=args.overlap,
+                        min_valid_ratio=0.01),
+    )
+    import jax
+
+    from bathymetric_gnn_tpu.data.graph_build import build_grid_inputs
+    from bathymetric_gnn_tpu.models.grid_gat import GridBathymetricGNN
+
+    pipe = StreamingPipeline(cfg)
+    # random-init model (throughput benchmark; quality irrelevant here)
+    model = GridBathymetricGNN(hidden_channels=64, num_layers=4, heads=4)
+    t = args.tile
+    probe = np.zeros((t, t), np.float32)
+    f, v, nb, ea, _ = build_grid_inputs(probe, np.ones((t, t), bool))
+    variables = model.init(jax.random.PRNGKey(0), f, v, nb, ea)
+    pipe.use_variables(variables["params"], variables["batch_stats"],
+                       from_coo=False)
+
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB on Linux
+    t0 = time.time()
+    stats = pipe.process_streaming(src, dst)
+    dt = time.time() - t0
+    peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+    tiles = stats["tiles_processed"]
+    cells = n * n
+    result = {
+        "metric": "streaming_survey_inference",
+        "size": n, "tile": args.tile,
+        "tiles_processed": tiles,
+        "seconds": round(dt, 2),
+        "tiles_per_s": round(tiles / dt, 2),
+        "mcells_per_s": round(cells / dt / 1e6, 3),
+        "peak_rss_gb": round(peak_rss_gb, 3),
+        "rss_at_start_gb": round(rss0 / 1e6, 3),
+        "out_gb": round(dst.stat().st_size / 1e9, 2),
+    }
+    print(json.dumps(result))
+    if not args.keep:
+        src.unlink()
+        dst.unlink()
+        tmpdir.rmdir()
+    assert peak_rss_gb < args.rss_cap_gb, (
+        f"peak RSS {peak_rss_gb:.2f} GB exceeds cap {args.rss_cap_gb} GB")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+"""Synthetic-VR integration round trip at realistic refinement scale.
+
+One command reproduces the full native-VR production flow (VERDICT r1
+item 10; reference flow: scripts/inference_native.py:345-571):
+
+  1. synthesize a from-scratch VR BAG with thousands of refinement grids
+     (3x3..48x48) carrying injected synthetic noise + known clean truth,
+  2. quick-train the COO-layout flagship model on synthetic tiles (or
+     reuse --model), checkpoint it,
+  3. run the REAL cli/inference_native entry point on the BAG,
+  4. score the corrected output against the clean truth per refinement:
+     RMSE before/after, spike-cell hit rate, and grids/s.
+
+Run: python benchmarks/vr_roundtrip_bench.py [--refinements 2000]
+     [--epochs 4] [--model CKPT_DIR]
+"""
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def make_refinements(n_ref, rng):
+    """Refinement tuples + clean truth + injected-noise masks."""
+    from bathymetric_gnn_tpu.io.bag import BAG_NODATA
+
+    base_cols = int(np.ceil(np.sqrt(n_ref)))
+    refs, truth = [], []
+    for i in range(n_ref):
+        r, c = divmod(i, base_cols)
+        size = int(rng.integers(6, 49))
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+        clean = (25 + 6 * np.sin((xx + 7 * r) / 11)
+                 + 4 * np.cos((yy + 3 * c) / 9)
+                 + rng.normal(0, 0.02, (size, size))).astype(np.float32)
+        noisy = clean + rng.normal(0, 0.03, clean.shape).astype(np.float32)
+        # spikes on ~4% of cells, 1-8 m — the reference's dominant noise
+        spike_mask = rng.random(clean.shape) < 0.04
+        spikes = (rng.uniform(1.0, 8.0, clean.shape)
+                  * rng.choice([-1.0, 1.0], clean.shape))
+        noisy = np.where(spike_mask, noisy + spikes, noisy).astype(
+            np.float32)
+        # a few invalid cells like real refinements
+        invalid = rng.random(clean.shape) < 0.02
+        noisy[invalid] = BAG_NODATA
+        refs.append((r, c, noisy, np.full_like(noisy, 0.3), 1.0))
+        truth.append((clean, spike_mask, invalid))
+    return (int(np.ceil(n_ref / base_cols)), base_cols), refs, truth
+
+
+def quick_train(tmp, epochs, seed=0):
+    """Short synthetic training with the COO-layout graph Trainer (the
+    native CLI requires a COO checkpoint)."""
+    import jax
+
+    from bathymetric_gnn_tpu.config.config import (BucketConfig, Config,
+                                                   ModelConfig,
+                                                   TrainingConfig)
+    from bathymetric_gnn_tpu.models.gnn import make_model
+    from bathymetric_gnn_tpu.training.datasets import SyntheticTileDataset
+    from bathymetric_gnn_tpu.training.trainer import Trainer
+
+    rng = np.random.default_rng(seed)
+    tile = 64
+    cfg = Config(
+        model=ModelConfig(hidden_channels=64, num_layers=4, heads=4),
+        bucket=BucketConfig(node_buckets=(tile * tile,)),
+        training=TrainingConfig(epochs=epochs, batch_size=4,
+                                early_stop_patience=epochs, seed=seed),
+    )
+    surfaces = []
+    for s in range(6):
+        yy, xx = np.mgrid[0:256, 0:256].astype(np.float32)
+        surf = (25 + 6 * np.sin((xx + 31 * s) / 11) + 4 * np.cos(yy / 9)
+                + rng.normal(0, 0.02, (256, 256))).astype(np.float32)
+        surfaces.append(surf)
+    ds = SyntheticTileDataset(surfaces, cfg, tile_size=tile, overlap=8,
+                              min_valid_ratio=0.0, seed=seed)
+    model = make_model(cfg.model, in_channels=7, edge_dim=3)
+    out_dir = Path(tmp) / "ckpt"
+    trainer = Trainer(cfg, model, ds, output_dir=str(out_dir))
+    trainer.train()
+    return out_dir / "best"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--refinements", type=int, default=2000)
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--model", help="existing COO checkpoint dir "
+                                    "(skips the quick training)")
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    from bathymetric_gnn_tpu.cli import inference_native
+    from bathymetric_gnn_tpu.io.bag import (BAG_NODATA, VRBagHandler,
+                                            write_vr_bag)
+
+    rng = np.random.default_rng(0)
+    tmp = Path(tempfile.mkdtemp(prefix="vr_roundtrip_"))
+    base_shape, refs, truth = make_refinements(args.refinements, rng)
+    src = tmp / "survey_vr.bag"
+    write_vr_bag(src, base_shape, 64.0, refs)
+    print(f"# wrote {src.stat().st_size / 1e6:.1f} MB VR BAG, "
+          f"{len(refs)} refinements", file=sys.stderr)
+
+    ckpt = args.model or quick_train(tmp, args.epochs)
+
+    dst = tmp / "survey_vr_clean.bag"
+    t0 = time.time()
+    inference_native.main([
+        "--input", str(src), "--output", str(dst), "--model", str(ckpt),
+        "--no-sidecar",
+    ])
+    dt = time.time() - t0
+
+    # score: per-refinement corrected vs clean truth (match by base cell)
+    truth_by_cell = {(r, c): t for (r, c, *_), t in zip(refs, truth)}
+    out = VRBagHandler(dst)
+    se_before = se_after = 0.0
+    spike_before = spike_after = 0.0
+    n_cells = n_spike = 0
+    for grid in out.iterate_refinements(min_valid_ratio=0.0):
+        clean, spike_mask, invalid = truth_by_cell[
+            (grid.base_row, grid.base_col)]
+        corr = grid.depth
+        valid = ~invalid & np.isfinite(corr) & (np.abs(corr) < 1e5)
+        d_after = (corr - clean)[valid]
+        se_after += float(np.sum(d_after ** 2))
+        n_cells += int(valid.sum())
+        sm = spike_mask & valid
+        if sm.any():
+            spike_after += float(np.sum(np.abs((corr - clean)[sm])))
+            n_spike += int(sm.sum())
+    # before: recompute from the stored refs
+    for (r, c, noisy, _, _), (clean, spike_mask, invalid) in zip(refs,
+                                                                 truth):
+        valid = ~invalid & (noisy != BAG_NODATA)
+        se_before += float(np.sum((noisy - clean)[valid] ** 2))
+        sm = spike_mask & valid
+        if sm.any():
+            spike_before += float(np.sum(np.abs((noisy - clean)[sm])))
+
+    rmse_before = float(np.sqrt(se_before / max(n_cells, 1)))
+    rmse_after = float(np.sqrt(se_after / max(n_cells, 1)))
+    result = {
+        "metric": "vr_roundtrip",
+        "refinements": len(refs),
+        "inference_seconds": round(dt, 2),
+        "grids_per_s": round(len(refs) / dt, 1),
+        "rmse_noisy_m": round(rmse_before, 4),
+        "rmse_corrected_m": round(rmse_after, 4),
+        "rmse_reduction_pct": round(
+            100 * (1 - rmse_after / max(rmse_before, 1e-9)), 1),
+        "spike_mae_noisy_m": round(spike_before / max(n_spike, 1), 3),
+        "spike_mae_corrected_m": round(spike_after / max(n_spike, 1), 3),
+    }
+    print(json.dumps(result))
+    assert rmse_after < rmse_before, "correction must reduce RMSE"
+    if not args.keep:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
