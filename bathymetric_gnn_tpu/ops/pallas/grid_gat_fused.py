@@ -61,6 +61,18 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
+def _resolve_block_rows(hgt: int, block_rows: int):
+    """Single source of truth for kernel eligibility (shared by
+    _fused_forward, _fused_backward, and _bwd so forward and backward can
+    never drift onto different paths): downgrade the row-block size
+    rather than falling back outright — the fused kernel needs hgt to
+    tile exactly with at least two blocks. Returns (r, tiles_ok)."""
+    r = block_rows
+    while r > 8 and (hgt % r != 0 or hgt < 2 * r):
+        r //= 2
+    return r, hgt % r == 0 and hgt >= 2 * r
+
+
 def _offsets(connectivity: int):
     from ..edges import offsets_for_connectivity
 
@@ -311,14 +323,10 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
     hc = w_lin.shape[1]
     c = hc // heads
     k = len(offsets)
-    # downgrade the row-block size rather than falling back outright: the
-    # fused kernel needs hgt to tile exactly with at least two blocks
-    r = block_rows
-    while r > 8 and (hgt % r != 0 or hgt < 2 * r):
-        r //= 2
+    r, tiles_ok = _resolve_block_rows(hgt, block_rows)
     fuse_bn = bn_scale is not None
     lowp = compute_dtype != jnp.float32
-    if hgt % r != 0 or hgt < 2 * r:  # ragged/small tiles: XLA formulation
+    if not tiles_ok:  # ragged/small tiles: XLA formulation
         # fall back to the XLA formulation for odd shapes; in low precision,
         # emulate the kernel's rounding (bf16 inputs, f32 accumulation)
         if lowp:
@@ -662,9 +670,7 @@ def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
     c = hc // heads
     ed = m_edge.shape[0]
     k = len(offsets)
-    r = block_rows
-    while r > 8 and (hgt % r != 0 or hgt < 2 * r):
-        r //= 2
+    r, _ = _resolve_block_rows(hgt, block_rows)
     nb = hgt // r
 
     x32 = x.astype(jnp.float32)
@@ -843,12 +849,13 @@ def _bwd(connectivity, negative_slope, use_edge, block_rows, interpret,
      dmask) = residuals
     offsets = _offsets(connectivity)
     hgt = x.shape[0]
-    r = block_rows
-    while r > 8 and (hgt % r != 0 or hgt < 2 * r):
-        r //= 2
+    _, tiles_ok = _resolve_block_rows(hgt, block_rows)
     dmask_ct = None if dmask is None else jnp.zeros_like(dmask)
 
-    if hgt % r == 0 and hgt >= 2 * r and use_edge:
+    # `use_edge` gates the bwd kernel only (it assumes the edge-logit
+    # path); when False, forward may run Pallas while backward takes the
+    # XLA vjp of the parity-tested reference — numerically equivalent.
+    if tiles_ok and use_edge:
         dx, dw, das, dad, dme, db = _fused_backward(
             x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask, valid,
             bias, dmask, g, connectivity, negative_slope, use_edge,

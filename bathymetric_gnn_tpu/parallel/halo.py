@@ -45,6 +45,24 @@ from ..models.layers import (ClassificationHead, ConfidenceHead,
 GRAPH_AXIS = "graph"
 
 
+def _check_inject_opt_state(opt_state) -> None:
+    """The halo train steps inject the learning rate into the optimizer
+    state each step, which requires ``optimizer`` to be built as
+    ``optax.chain(optax.clip_by_global_norm(...),
+    optax.inject_hyperparams(...)(...))`` (the Trainer's construction).
+    Any other structure would fail deep inside the traced step with an
+    opaque AttributeError — fail loudly at trace time instead."""
+    ok = (isinstance(opt_state, (tuple, list)) and len(opt_state) >= 2
+          and hasattr(opt_state[1], "hyperparams")
+          and "learning_rate" in getattr(opt_state[1], "hyperparams", {}))
+    if not ok:
+        raise TypeError(
+            "halo train steps require optimizer = optax.chain(clip, "
+            "inject_hyperparams(opt)(learning_rate=...)); got an opt_state "
+            f"of structure {jax.tree_util.tree_structure(opt_state)} with "
+            "no injectable 'learning_rate' at opt_state[1]")
+
+
 def halo_rows_split(x: jax.Array, halo: int,
                     axis_name: str = GRAPH_AXIS):
     """Fetch neighbor boundary rows: (from_above, from_below), each
@@ -251,11 +269,16 @@ def make_halo_train_step(
     axes — the GNN analogue of DP x sequence parallelism
     (SURVEY §2.2 SP row, §7.1 step 8 stage B).
 
-    Loss semantics are EXACT: every component's masked-mean numerator and
-    denominator (valid counts, noise counts, FP counts, CE weight sums)
-    are psum'd over the ``graph`` axis before dividing, so the sharded
-    objective equals the single-chip one even on masked surveys whose
-    valid nodes distribute unevenly across row shards. See the gradient-
+    Loss semantics are EXACT for deterministic forwards (dropout 0):
+    every component's masked-mean numerator and denominator (valid
+    counts, noise counts, FP counts, CE weight sums) are psum'd over the
+    ``graph`` axis before dividing, so the sharded objective equals the
+    single-chip one even on masked surveys whose valid nodes distribute
+    unevenly across row shards. With dropout > 0 the per-shard RNG
+    geometry differs from a single chip (halo rows reuse the neighbor
+    shard's draw; draw shapes differ), so the objective is stochastically
+    equivalent rather than bit-identical; the equivalence tests run
+    dropout 0. See the gradient-
     reduction note inside shard_fn for why grads then pmean (not psum)
     over ``graph``. Verified by the single-vs-sharded train-step
     equivalence test (tests/test_halo.py).
@@ -323,6 +346,7 @@ def make_halo_train_step(
         return losses["total"], (losses, acc, new_bs)
 
     def shard_fn(params, batch_stats, opt_state, batch, rng, lr):
+        _check_inject_opt_state(opt_state)
         # distinct dropout per data-shard; identical within a graph row-group
         rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
         (_, (losses, acc, new_bs)), grads = jax.value_and_grad(

@@ -41,6 +41,7 @@ from ..models.grid_gat import GridGATConv
 from ..models.layers import (ClassificationHead, ConfidenceHead,
                              CorrectionHead, MaskedBatchNorm,
                              MLPFeatureExtractor)
+from .halo import _check_inject_opt_state
 
 ROW_AXIS = "row"
 COL_AXIS = "col"
@@ -220,11 +221,16 @@ def make_halo2d_train_step(
     """dp x row x col training step on the product mesh.
 
     Tile batches shard over ``data``; each tile's rows/cols over
-    ``row``/``col``. Loss semantics are EXACT: every component's masked
-    numerator/denominator is psum'd over BOTH spatial axes before
-    dividing, so the sharded objective equals the single-chip one (same
-    scheme as parallel/halo.make_halo_train_step, which documents the
-    psum-transpose/pmean gradient-reduction argument)."""
+    ``row``/``col``. Loss semantics are EXACT for deterministic forwards
+    (dropout 0): every component's masked numerator/denominator is psum'd
+    over BOTH spatial axes before dividing, so the sharded objective
+    equals the single-chip one (same scheme as
+    parallel/halo.make_halo_train_step, which documents the
+    psum-transpose/pmean gradient-reduction argument). With dropout > 0
+    the per-shard RNG geometry differs from single-chip (halo cells reuse
+    the neighbor shard's draw and the draw shapes differ), so the
+    objective is stochastically equivalent, not bit-identical — the
+    grad-equivalence gates in __graft_entry__/tests run dropout 0."""
     from ..training import losses as L
     from ..config.constants import (CLASS_NOISE, CORRECTION_NORM_CAP,
                                     CORRECTION_NORM_FLOOR)
@@ -285,6 +291,7 @@ def make_halo2d_train_step(
         return losses["total"], (losses, acc, new_bs)
 
     def shard_fn(params, batch_stats, opt_state, batch, rng, lr):
+        _check_inject_opt_state(opt_state)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
         (_, (losses, acc, new_bs)), grads = jax.value_and_grad(
             local_loss, has_aux=True

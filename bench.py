@@ -117,18 +117,23 @@ def _train_step_device_time(base, valid, num_edges):
 
     n_steps = 8
     trace_dir = tempfile.mkdtemp(prefix="bench_train_trace_")
-    with jax.profiler.trace(trace_dir):
-        for i in range(n_steps):
-            p, bs, o = step(p, bs, o, jax.random.PRNGKey(10 + i))
-        jax.block_until_ready(p)
+    try:
+        with jax.profiler.trace(trace_dir):
+            for i in range(n_steps):
+                p, bs, o = step(p, bs, o, jax.random.PRNGKey(10 + i))
+            jax.block_until_ready(p)
 
-    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
-    if not files:
-        return None
-    import json as _json
+        files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+        if not files:
+            return None
+        import json as _json
 
-    with gzip.open(sorted(files)[-1], "rt") as f:
-        tr = _json.load(f)
+        with gzip.open(sorted(files)[-1], "rt") as f:
+            tr = _json.load(f)
+    finally:
+        import shutil
+
+        shutil.rmtree(trace_dir, ignore_errors=True)
     pid_names = {}
     for ev in tr["traceEvents"]:
         if ev.get("ph") == "M" and ev.get("name") == "process_name":
@@ -220,7 +225,11 @@ def main():
     }
     try:
         t_step = _train_step_device_time(base, valid, num_edges)
-    except Exception:
+    except Exception as e:  # the forward headline must still print
+        import traceback
+
+        print(f"# train_step bench failed: {e!r}", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
         t_step = None
     if t_step:
         result["train_step_edges_per_s"] = round(
