@@ -25,6 +25,13 @@ def parse_args(argv=None):
     p.add_argument("--min-valid-ratio", type=float, default=0.05)
     p.add_argument("--confidence-threshold", type=float, default=0.85)
     p.add_argument("--batch-node-budget", type=int, default=50000)
+    p.add_argument("--knn-k", type=int,
+                   help="override graph.knn_k: >0 builds k-NN graphs over "
+                        "valid cells instead of grid connectivity")
+    p.add_argument("--sparse-kernel",
+                   choices=["auto", "xla", "banded", "banded_pallas"],
+                   help="override model.sparse_kernel (auto = fused banded "
+                        "Pallas kernel on TPU for k-NN GAT)")
     p.add_argument("--no-sidecar", action="store_true")
     p.add_argument("--no-uncertainty-scaling", action="store_true")
     p.add_argument("--verbose", action="store_true")
@@ -51,6 +58,10 @@ def main(argv=None):
         raise SystemExit("native VR inference needs a COO-layout checkpoint "
                          "(trained with the graph Trainer)")
     cfg.model = ckpt_cfg.model
+    if args.knn_k is not None:
+        cfg.graph.knn_k = args.knn_k
+    if args.sparse_kernel is not None:
+        cfg.model.sparse_kernel = args.sparse_kernel
     in_channels = infer_in_channels(params)
     model = make_model(cfg.model, in_channels, edge_dim=3)
     proc = NativeVRProcessor(

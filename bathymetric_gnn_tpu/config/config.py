@@ -61,6 +61,10 @@ class ModelConfig:
     # fused Pallas grid-GAT layer (2.6x vs XLA on v5e); "auto" enables it
     # on TPU for deterministic f32 forward passes
     use_pallas: str = "auto"  # auto | on | off
+    # sparse (ELL) message-passing kernel for k-NN / bounded-degree
+    # graphs: "auto" resolves to the fused banded Pallas kernel on TPU
+    # for GAT and to plain XLA gathers otherwise
+    sparse_kernel: str = "auto"  # auto | xla | banded | banded_pallas
 
 
 @dataclass
@@ -169,6 +173,12 @@ class Config:
             raise ValueError(f"unknown gnn_type: {self.model.gnn_type}")
         if self.inference.vr_bag_mode not in ("refinements", "resampled", "base"):
             raise ValueError(f"unknown vr_bag_mode: {self.inference.vr_bag_mode}")
+        if self.model.sparse_kernel not in ("auto", "xla", "banded",
+                                            "banded_pallas"):
+            raise ValueError(
+                f"unknown sparse_kernel: {self.model.sparse_kernel}")
+        if self.graph.knn_k < 0:
+            raise ValueError(f"knn_k must be >= 0, got {self.graph.knn_k}")
 
     # -- YAML round-trip ---------------------------------------------------
 

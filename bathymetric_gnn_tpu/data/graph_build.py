@@ -96,9 +96,15 @@ class GraphBuilder:
         resolution: Tuple[float, float] = (1.0, 1.0),
     ) -> "BuiltGraph":
         """Grid -> PaddedGraph. Mirrors GraphBuilder.build_graph
-        (reference: data/graph_construction.py:91-174)."""
+        (reference: data/graph_construction.py:91-174). With knn_k > 0
+        the grid featurization is kept but edges come from a k-NN build
+        over the valid-cell coordinates (BASELINE k=8 configs) instead of
+        grid connectivity."""
         if valid_mask is None:
             valid_mask = np.isfinite(depth)
+        if self.cfg.knn_k > 0:
+            return self._build_knn_from_grid(depth, valid_mask, uncertainty,
+                                             resolution)
         num_valid = int(valid_mask.sum())
         n_pad, e_pad = self.pad_sizes(num_valid)
         with_unc = uncertainty is not None
@@ -116,6 +122,39 @@ class GraphBuilder:
         )
         return BuiltGraph(g, grid_shape=depth.shape, num_nodes=num_valid,
                           rows=np.asarray(rows), cols=np.asarray(cols))
+
+    def _build_knn_from_grid(self, depth, valid_mask, uncertainty,
+                             resolution) -> "BuiltGraph":
+        """Grid featurization (device) + k-NN edges over valid cells.
+
+        Node features are IDENTICAL to the grid path (masked local stats,
+        gradients, curvature — SURVEY Q6); only the incidence structure
+        changes. Nodes are Hilbert-ordered by build_knn_graph so the
+        banded-ELL kernel applies; rows/cols carry the permutation so
+        graph_to_grid still scatters correctly."""
+        depth = np.asarray(depth, np.float32)
+        valid_mask = np.asarray(valid_mask, bool)
+        with_unc = uncertainty is not None
+        gf = feat_ops.compute_grid_features(
+            jnp.asarray(np.where(np.isfinite(depth), depth, 0.0)),
+            jnp.asarray(valid_mask),
+            jnp.asarray(uncertainty, jnp.float32) if with_unc else None,
+            self.cfg.local_stats_window,
+        )
+        rows, cols = np.nonzero(valid_mask)
+        feats = np.asarray(gf.features)[rows, cols]
+        lstd = np.asarray(gf.local_std)[rows, cols]
+        dvals = np.where(np.isfinite(depth), depth, 0.0)[rows, cols]
+        pos = np.stack([cols, rows], -1).astype(np.float32)
+        bg = self.build_knn_graph(
+            feats, pos, k=self.cfg.knn_k, local_std=lstd,
+            resolution=(float(resolution[0]), float(resolution[1])),
+            depth=dvals,
+        )
+        bg.grid_shape = depth.shape
+        bg.rows = rows[bg.perm]
+        bg.cols = cols[bg.perm]
+        return bg
 
     def build_knn_graph(
         self,

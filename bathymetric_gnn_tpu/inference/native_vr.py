@@ -62,10 +62,24 @@ class NativeVRProcessor:
         self.config = config or Config()
         self.use_ell = use_ell
         cfg = self.config
+        # k-NN incidence (BASELINE k=8 configs): every grid routes through
+        # the bucketed graph path (slabs assume grid connectivity), and the
+        # sparse kernel resolves to the fused banded Pallas kernel on TPU
+        self.knn_k = int(cfg.graph.knn_k)
+        sk = cfg.model.sparse_kernel
+        if sk == "auto":
+            sk = ("banded_pallas"
+                  if (jax.default_backend() == "tpu" and self.knn_k > 0
+                      and model.gnn_type == "GAT") else "xla")
+        if sk != "xla" and (self.knn_k == 0 or model.gnn_type != "GAT"):
+            logger.warning("sparse_kernel=%s needs knn_k>0 and GAT; "
+                           "falling back to xla", sk)
+            sk = "xla"
+        self.sparse_kernel = sk
         # the slab ELL has exactly `connectivity` incoming slots; explicit
         # self-loop edges would need one more (GAT's internal self-loop is
         # handled inside the conv, not as an edge slot)
-        self.use_slab = (use_slab and use_ell
+        self.use_slab = (use_slab and use_ell and self.knn_k == 0
                          and not cfg.graph.include_self_loops)
         # grid mode: slabs run through the dense shifted-window fast path
         # (BatchedGridGNN) instead of the gather ELL model — GAT only.
@@ -113,6 +127,7 @@ class NativeVRProcessor:
                 predict_correction=model.predict_correction,
                 feature_extractor_layers=model.feature_extractor_layers,
                 edge_dim=model.edge_dim,
+                sparse_kernel=self.sparse_kernel,
             )
         self.builder = GraphBuilder(self.config.graph, self.config.bucket)
         self.node_budget = node_budget
@@ -132,10 +147,12 @@ class NativeVRProcessor:
 
     def _make_forward(self):
         model = self.ell_model if self.use_ell else self.model
+        banded_mode = self.use_ell and self.sparse_kernel != "xla"
 
         @jax.jit
-        def forward(variables, graph):
-            out = model.apply(variables, graph)
+        def forward(variables, graph, banded=None):
+            out = (model.apply(variables, graph, banded=banded)
+                   if banded_mode else model.apply(variables, graph))
             corr = out.get("correction")
             if corr is not None:
                 corr = corr * jnp.maximum(graph.local_std,
@@ -371,16 +388,22 @@ class NativeVRProcessor:
             n_pad = 1 << (n_total - 1).bit_length()
         else:
             n_pad = round_up_to_bucket(n_total, self.node_buckets)
-        e_pad = n_pad * (self.config.graph.connectivity + 1)
+        max_deg = self.knn_k or (self.config.graph.connectivity + 1)
+        e_pad = n_pad * max_deg
         graph, counts = batch_graphs(
             [(p["x"], p["edge_index"], p["edge_attr"]) for p in entries],
             n_pad=n_pad, e_pad=e_pad,
             local_std_list=[p["local_std"] for p in entries],
         )
         if self.use_ell:
-            graph = coo_to_ell(
-                graph, max_degree=self.config.graph.connectivity)
-        dev = self._forward(self.variables, graph)
+            graph = coo_to_ell(graph, max_degree=max_deg)
+        if self.use_ell and self.sparse_kernel != "xla":
+            from ..ops.ell_banded import band_ell
+
+            dev = self._forward(self.variables, graph,
+                                band_ell(graph, band_rows=128))
+        else:
+            dev = self._forward(self.variables, graph)
         logger.debug("launched %d graphs (%d nodes, bucket %d)",
                      len(entries), n_total, n_pad)
         return ("graph", idx, entries, dev)

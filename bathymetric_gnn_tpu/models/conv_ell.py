@@ -18,6 +18,23 @@ from ..ops.ell import EllGraph, ell_gather, ell_masked_softmax
 from .conv import _glorot
 
 
+def make_banded_dropout_masks(rng, dropout: float, n: int, k: int,
+                              heads: int, spill_shape):
+    """Streamed post-softmax attention-dropout multipliers for the fused
+    banded kernel: ([(K+1)*H, N] in-band+self, [T, H, S_max] spill), each
+    0 or 1/(1-p). Generated OUTSIDE the kernel with jax.random so the
+    forward kernel, backward kernel, and any XLA replay all see the
+    identical draw (same scheme as the grid kernel's streamed masks)."""
+    t_count, _, s_max = spill_shape
+    r1, r2 = jax.random.split(rng)
+    scale = 1.0 / (1.0 - dropout)
+    dm = jax.random.bernoulli(r1, 1.0 - dropout,
+                              ((k + 1) * heads, n)).astype(jnp.float32)
+    dm_sp = jax.random.bernoulli(r2, 1.0 - dropout,
+                                 (t_count, heads, s_max)).astype(jnp.float32)
+    return dm * scale, dm_sp * scale
+
+
 class GATConvELL(nn.Module):
     """PyG-exact GAT on the ELL layout (cf. models/conv.GATConv)."""
 
@@ -98,21 +115,29 @@ class GATConvEllBanded(nn.Module):
     Identical math and parameter names to GATConvELL, so one checkpoint
     drives the plain-ELL, banded-XLA, and banded-Pallas paths; outputs
     are parity-tested against GATConvELL. ``use_pallas`` swaps the band
-    part for the fused TPU kernel (ops/pallas/ell_gat_fused.py); the
-    spill pass is shared XLA code either way.
+    part for the fused TPU kernel (ops/pallas/ell_gat_fused.py).
 
-    Inference/bench oriented: attention dropout is not supported here
-    (training uses GATConvELL — same params).
+    With ``spill_in_kernel`` (round-3 default) the kernel folds spill
+    edges from per-band compacted tables and emits the normalized
+    output directly — no XLA scatter/renorm pass — and attention
+    dropout streams in as post-softmax multiplier masks (the same
+    fwd/bwd-shared-draw scheme as the grid kernel), making this path
+    training-capable. The legacy path (spill_in_kernel=False) keeps the
+    band kernel + XLA spill fold and supports no dropout.
     """
 
     out_channels: int
     heads: int = 4
     concat: bool = True
     negative_slope: float = 0.2
+    dropout: float = 0.0
     edge_dim: Optional[int] = None
     add_self_loops: bool = True
     use_bias: bool = True
     use_pallas: bool = False
+    # round-3 kernel: spill edges fold in-kernel from per-band compacted
+    # tables; supports streamed attention dropout (training-capable)
+    spill_in_kernel: bool = True
     compute_dtype: str = "float32"
 
     @nn.compact
@@ -121,6 +146,13 @@ class GATConvEllBanded(nn.Module):
         from ..ops.ell_banded import (banded_gat_band_part_xla,
                                       banded_gat_spill_pass,
                                       banded_gat_spill_pass_flat)
+
+        if (self.dropout > 0 and not deterministic
+                and not (self.use_pallas and self.spill_in_kernel)):
+            raise NotImplementedError(
+                "attention dropout on the banded path needs the fused "
+                "kernel (use_pallas=True, spill_in_kernel=True); train "
+                "with GATConvELL otherwise (same parameters)")
 
         h, c = self.heads, self.out_channels
         n, k = g.nbr_src.shape
@@ -142,7 +174,8 @@ class GATConvEllBanded(nn.Module):
                                 we.reshape(self.edge_dim, h, c), att_edge)
 
         if self.use_pallas:
-            from ..ops.pallas.ell_gat_fused import ell_gat_band_part_pallas
+            from ..ops.pallas.ell_gat_fused import (ell_gat_band_part_pallas,
+                                                    ell_gat_fused_pallas)
 
             # lane-clean streams from the STATIC transposed edge-attr
             # tables (N minor everywhere; an [N, K, H] el tensor would
@@ -162,19 +195,32 @@ class GATConvEllBanded(nn.Module):
             a_cat_mat = jnp.concatenate(
                 [diag * att_src.reshape(h * c)[:, None],
                  diag * att_dst.reshape(h * c)[:, None]], axis=1)
-            y2, m, denom = ell_gat_band_part_pallas(
-                xh, a_cat_mat, el_t, el_self_t, banded,
-                negative_slope=self.negative_slope,
-                compute_dtype=self.compute_dtype,
-            )
-            # lane-clean spill fold on flat [N, HC] arrays (avoids the
-            # [N, H, C] relayout copies + broadcasts that dominated the
-            # first banded bench — benchmarks/RESULTS.md round 2)
-            out2 = banded_gat_spill_pass_flat(
-                y2, m, denom, xh2,
-                jnp.concatenate([a_src, a_dst], axis=1), m_edge, banded,
-                heads=h, negative_slope=self.negative_slope,
-            )
+            if self.spill_in_kernel:
+                dropout_masks = None
+                if self.dropout > 0 and not deterministic:
+                    dropout_masks = make_banded_dropout_masks(
+                        self.make_rng("dropout"), self.dropout, n, k, h,
+                        banded.spill_dst_local_b.shape)
+                out2 = ell_gat_fused_pallas(
+                    xh, a_src, a_dst, a_cat_mat, el_t, el_self_t, m_edge,
+                    banded, negative_slope=self.negative_slope,
+                    compute_dtype=self.compute_dtype,
+                    dropout_masks=dropout_masks,
+                )
+            else:
+                y2, m, denom = ell_gat_band_part_pallas(
+                    xh, a_cat_mat, el_t, el_self_t, banded,
+                    negative_slope=self.negative_slope,
+                    compute_dtype=self.compute_dtype,
+                )
+                # lane-clean spill fold on flat [N, HC] arrays (avoids the
+                # [N, H, C] relayout copies + broadcasts that dominated the
+                # first banded bench — benchmarks/RESULTS.md round 2)
+                out2 = banded_gat_spill_pass_flat(
+                    y2, m, denom, xh2,
+                    jnp.concatenate([a_src, a_dst], axis=1), m_edge, banded,
+                    heads=h, negative_slope=self.negative_slope,
+                )
             out = out2.reshape(n, h, c)
         else:
             if m_edge is not None:

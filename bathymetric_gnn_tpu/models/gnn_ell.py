@@ -54,6 +54,7 @@ class EllGNNBackbone(nn.Module):
                     out_channels=self.hidden_channels,
                     heads=self.heads if not last else 1,
                     concat=not last,
+                    dropout=self.dropout,
                     edge_dim=self.edge_dim,
                     use_pallas=self.sparse_kernel == "banded_pallas",
                     compute_dtype=self.compute_dtype,

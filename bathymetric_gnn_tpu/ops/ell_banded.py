@@ -72,6 +72,13 @@ class BandedEll:
     eattr_t: jax.Array      # [K, Fe, N]
     mean_attr_t: jax.Array  # [Fe, N] masked mean of incoming edge attrs
     spill_eattr: jax.Array  # [S, Fe] edge attrs of spilled edges
+    # per-band COMPACTED spill lists (round-3: the Pallas kernel folds
+    # spill edges in-kernel — one XLA gather feeds [T, S_max] tables and
+    # the segment-scatter + renormalization pass disappears entirely):
+    spill_src_b: jax.Array        # [T, S_max] int32 global src (0 pad)
+    spill_dst_b: jax.Array        # [T, S_max] int32 global dst (0 pad)
+    spill_dst_local_b: jax.Array  # [T, 1, S_max] int32 row-in-band, -1 pad
+    spill_eattr_b: jax.Array      # [T, S_max, Fe]
     band_rows: int = dataclasses.field(metadata=dict(static=True))
 
     @property
@@ -126,6 +133,31 @@ def band_ell(g: EllGraph, band_rows: int = 128,
     spill_eattr = np.zeros((pad, fe), np.float32)
     spill_eattr[:s] = eattr[sd, sk]
 
+    # band-major compacted spill lists (spill_dst==sd is sorted, so the
+    # per-band runs are contiguous). S_max = max per-band count rounded
+    # up to a sublane multiple; jittered-grid Morton orderings measure
+    # max/avg ~ 1.6-2x, so the padding stays modest.
+    t_count = n // r
+    band_of = sd // r
+    counts = np.bincount(band_of, minlength=t_count)
+    # power-of-two bucket (floor 64) so jitted consumers compile for a
+    # bounded set of spill-table shapes across graph batches
+    s_max = 64
+    while s_max < int(counts.max() if len(counts) else 1):
+        s_max *= 2
+    spill_src_b = np.zeros((t_count, s_max), np.int32)
+    spill_dst_b = np.zeros((t_count, s_max), np.int32)
+    spill_dst_local_b = np.full((t_count, 1, s_max), -1, np.int32)
+    spill_eattr_b = np.zeros((t_count, s_max, fe), np.float32)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for t in range(t_count):
+        a, b = starts[t], starts[t + 1]
+        c = b - a
+        spill_src_b[t, :c] = src[sd[a:b], sk[a:b]]
+        spill_dst_b[t, :c] = sd[a:b]
+        spill_dst_local_b[t, 0, :c] = sd[a:b] % r
+        spill_eattr_b[t, :c] = eattr[sd[a:b], sk[a:b]]
+
     return BandedEll(
         loc_t=jnp.asarray(np.ascontiguousarray(loc.T)),
         spill_src=jnp.asarray(spill_src),
@@ -135,6 +167,10 @@ def band_ell(g: EllGraph, band_rows: int = 128,
         eattr_t=jnp.asarray(eattr_t),
         mean_attr_t=jnp.asarray(np.ascontiguousarray(mean_attr.T)),
         spill_eattr=jnp.asarray(spill_eattr),
+        spill_src_b=jnp.asarray(spill_src_b),
+        spill_dst_b=jnp.asarray(spill_dst_b),
+        spill_dst_local_b=jnp.asarray(spill_dst_local_b),
+        spill_eattr_b=jnp.asarray(spill_eattr_b),
         band_rows=r,
     )
 

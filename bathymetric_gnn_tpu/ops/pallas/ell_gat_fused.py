@@ -233,6 +233,139 @@ def _band_part_call(xh_flat, a_cat_mat, loc_t, el_t, el_self_t, *,
     return y, stats
 
 
+def _kernel_v2(
+    xw_a,        # [R, HC] window chunk t-1 (clamped)
+    xw_b,        # [R, HC] window chunk t   (also the destination block)
+    xw_c,        # [R, HC] window chunk t+1 (clamped)
+    a_cat_mat,   # [HC, 2H] block-diag [att_src | att_dst] matrix
+    loc,         # [K, R] int32 local window index (-1 dead/spill)
+    el,          # [K*H, R] raw edge-attr logits (masked from loc)
+    el_self,     # [H, R] self-loop edge logit part
+    l_spill,     # [1, H, S] leaky'd spill logits (-1e30 dead slots)
+    xh_spill,    # [1, S, HC] gathered spill source features
+    dst_loc,     # [1, 1, S] int32 local dst row of each spill (-1 dead)
+    *rest,       # optional ([(K+1)*H, R], [1, H, S]) dropout multipliers,
+                 # then out_ref [R, HC]
+    R: int,
+    K: int,
+    heads: int,
+    C: int,
+    negative_slope: float,
+    has_self: bool,
+    upcast_dots: bool,
+    has_dropout: bool,
+):
+    """Round-3 kernel: spill edges fold IN-KERNEL (VERDICT r2 item 3).
+
+    Differences from _kernel: (a) per-band compacted spill tables stream
+    in and join the softmax by renormalization against the in-band stats
+    — no XLA segment-scatter / renorm pass exists anymore; (b) the output
+    is the NORMALIZED aggregation (one division in-kernel); (c) optional
+    streamed dropout multipliers apply to the post-softmax weights
+    (PyG semantics: the denominator uses undropped weights), shared with
+    the backward kernel so fwd/bwd see the identical draw."""
+    W = 3 * R
+    f32 = jnp.float32
+    HC = heads * C
+
+    def leaky(v):
+        return jnp.where(v >= 0, v, negative_slope * v)
+
+    xw = jnp.concatenate([xw_a[:], xw_b[:], xw_c[:]], axis=0)   # [W, HC]
+    a_mat = a_cat_mat[:]
+    if upcast_dots:
+        xw = xw.astype(f32)
+        a_mat = a_mat.astype(f32)
+
+    ac_t = jax.lax.dot_general(a_mat, xw, (((0,), (1,)), ((), ())),
+                               preferred_element_type=f32)      # [2H, W]
+    ac_t_cd = ac_t.astype(xw.dtype)
+    a_dst_t = ac_t[heads:, R:2 * R]                             # [H, R]
+
+    loc_v = loc[:]                                              # [K, R]
+    el_v = el[:].astype(f32)                                    # [K*H, R]
+    rows_w = jax.lax.broadcasted_iota(jnp.int32, (W, R), 0)
+
+    onehots_t = []
+    lgs = []                                                    # [H, R] x K
+    for k in range(K):
+        oh_t = (rows_w == loc_v[k:k + 1, :]).astype(xw.dtype)   # [W, R]
+        onehots_t.append(oh_t)
+        g_ac = jnp.dot(ac_t_cd, oh_t,
+                       preferred_element_type=f32)              # [2H, R]
+        lg = leaky(g_ac[:heads] + a_dst_t + el_v[k * heads:(k + 1) * heads])
+        lgs.append(jnp.where(loc_v[k:k + 1, :] >= 0, lg, -1e30))
+
+    if has_self:
+        self_lg = leaky(ac_t[:heads, R:2 * R] + a_dst_t + el_self[:])
+        m = self_lg
+    else:
+        m = jnp.full((heads, R), -1e4, f32)
+    for k in range(K):
+        m = jnp.maximum(m, lgs[k])
+    denom = jnp.zeros((heads, R), f32)
+    exps = []
+    for k in range(K):
+        e = jnp.exp(lgs[k] - m)
+        exps.append(e)
+        denom = denom + e
+    if has_self:
+        e_self = jnp.exp(self_lg - m)
+        denom = denom + e_self
+    denom = jnp.maximum(denom, 1e-16)
+
+    # ---- spill fold (exact joint softmax by renormalization) ----------
+    dloc = dst_loc[0, 0, :]                                     # [S]
+    s_dim = dloc.shape[0]
+    # oh_rs[r, s] = (dst_loc[s] == r): dst_loc is lane-native [1, S]
+    rows_r = jax.lax.broadcasted_iota(jnp.int32, (R, s_dim), 0)
+    oh_rs = (rows_r == dloc[None, :]).astype(f32)               # [R, S]
+    # m at each spill's destination row: [H, S] (dead slots gather 0;
+    # their l_spill is -1e30 so e_s underflows to 0 regardless)
+    m_s = jax.lax.dot_general(m, oh_rs, (((1,), (0,)), ((), ())),
+                              preferred_element_type=f32)       # [H, S]
+    l_s = l_spill[0].astype(f32)                                # [H, S]
+    # clamp guards the all-spilled-row corner (see banded_gat_spill_pass)
+    e_s = jnp.exp(jnp.minimum(l_s - m_s, 60.0))                 # [H, S]
+    denom_sp = jax.lax.dot_general(e_s, oh_rs, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)  # [H, R]
+    denom_tot = denom + denom_sp
+
+    head_of_col = jax.lax.broadcasted_iota(jnp.int32, (heads, HC), 1) // C
+    head_row = jax.lax.broadcasted_iota(jnp.int32, (heads, HC), 0)
+    expand_mat = (head_of_col == head_row).astype(f32)
+
+    def expand_heads(w_hr):                       # [H, n] -> [n, HC]
+        return jax.lax.dot_general(
+            w_hr, expand_mat, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    if has_dropout:
+        dm = rest[0][:].astype(f32)               # [(K+1)*H, R]
+        dm_sp = rest[1][0].astype(f32)            # [H, S]
+        e_s = e_s * dm_sp
+    out_ref = rest[-1]
+    # weighted aggregation (dropout applies to weights, not the denom)
+    if has_self:
+        w_self = e_self * dm[K * heads:] if has_dropout else e_self
+        y = expand_heads(w_self) * xw_b[:].astype(f32)
+    else:
+        y = jnp.zeros((R, HC), f32)
+    for k in range(K):
+        ek = exps[k] * dm[k * heads:(k + 1) * heads] if has_dropout \
+            else exps[k]
+        g_x = jax.lax.dot_general(onehots_t[k], xw,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32)   # [R, HC]
+        y = y + expand_heads(ek) * g_x
+    # spill messages: [R, S] @ ([S, HC] weighted) — MXU, no scatter
+    msg_sp = expand_heads(e_s) * xh_spill[0].astype(f32)        # [S, HC]
+    y = y + jax.lax.dot_general(oh_rs, msg_sp, (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32)     # [R, HC]
+
+    out_ref[:] = (y * expand_heads(1.0 / denom_tot)).astype(out_ref.dtype)
+
+
 def ell_gat_band_part_pallas(
     xh: jax.Array,          # [N, H, C]
     a_cat_mat: jax.Array,   # [HC, 2H] block-diag [att_src | att_dst]
@@ -264,3 +397,526 @@ def ell_gat_band_part_pallas(
     m = stats[:h_dim].T                                     # [N, H]
     denom = stats[h_dim:].T
     return y, m, denom                                      # y flat [N, HC]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("band_rows", "heads", "negative_slope", "has_self",
+                     "has_dropout", "compute_dtype", "interpret"),
+)
+def _fused_call_v2(xh_flat, a_cat_mat, loc_t, el_t, el_self_t,
+                   l_spill_b, xh_spill_b, dst_loc_b, dmask_t, dmask_sp_b, *,
+                   band_rows: int, heads: int, negative_slope: float,
+                   has_self: bool, has_dropout: bool, compute_dtype: str,
+                   interpret: bool):
+    statics = (band_rows, heads, negative_slope, has_self, has_dropout,
+               compute_dtype, interpret)
+    if dmask_t is None:  # custom_vjp needs concrete (dummy) mask args
+        dmask_t = jnp.zeros((1, 1), jnp.float32)
+        dmask_sp_b = jnp.zeros((1, 1), jnp.float32)
+    return _fused_v2(statics, xh_flat, a_cat_mat, loc_t, el_t, el_self_t,
+                     l_spill_b, xh_spill_b, dst_loc_b, dmask_t, dmask_sp_b)
+
+
+def _run_fused_v2_forward(statics, xh_flat, a_cat_mat, loc_t, el_t,
+                          el_self_t, l_spill_b, xh_spill_b, dst_loc_b,
+                          dmask_t, dmask_sp_b):
+    (band_rows, heads, negative_slope, has_self, has_dropout,
+     compute_dtype, interpret) = statics
+    n, hc = xh_flat.shape
+    r = band_rows
+    t_count = n // r
+    k = loc_t.shape[0]
+    c = hc // heads
+    s_max = dst_loc_b.shape[-1]
+    cd = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
+    def clampm1(t):
+        return jnp.maximum(t - 1, 0)
+
+    def clampp1(t):
+        return jnp.minimum(t + 1, t_count - 1)
+
+    kern = functools.partial(
+        _kernel_v2, R=r, K=k, heads=heads, C=c,
+        negative_slope=negative_slope, has_self=has_self,
+        has_dropout=has_dropout,
+        upcast_dots=interpret and compute_dtype == "bfloat16",
+    )
+    xcd = xh_flat.astype(cd)
+    in_specs = [
+        pl.BlockSpec((r, hc), lambda t: (clampm1(t), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, hc), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, hc), lambda t: (clampp1(t), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, r), lambda t: (0, t), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k * heads, r), lambda t: (0, t),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, r), lambda t: (0, t),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, heads, s_max), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s_max, hc), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, s_max), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xcd, xcd, xcd, a_cat_mat.astype(cd), loc_t, el_t, el_self_t,
+            l_spill_b, xh_spill_b.astype(cd), dst_loc_b]
+    if has_dropout:
+        in_specs.append(pl.BlockSpec(((k + 1) * heads, r), lambda t: (0, t),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, heads, s_max), lambda t: (t, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.extend([dmask_t, dmask_sp_b])
+    out = pl.pallas_call(
+        kern,
+        grid=(t_count,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((r, hc), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, hc), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out
+
+
+def ell_gat_fused_pallas(
+    xh: jax.Array,          # [N, H, C] transformed features
+    a_src: jax.Array,       # [N, H] attention dots (for spill logits)
+    a_dst: jax.Array,       # [N, H]
+    a_cat_mat: jax.Array,   # [HC, 2H] block-diag [att_src | att_dst]
+    el_t: jax.Array,        # [K*H, N] raw edge-attr logits (lane-clean)
+    el_self_t: Optional[jax.Array],     # [H, N] or None
+    m_edge: Optional[jax.Array],        # [Fe, H] edge-logit matrix
+    banded: BandedEll,
+    negative_slope: float = 0.2,
+    compute_dtype: str = "float32",
+    dropout_masks: Optional[Tuple[jax.Array, jax.Array]] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Round-3 fused banded GAT layer: ONE kernel, normalized output.
+
+    Spill edges are folded inside the kernel from per-band compacted
+    tables (BandedEll.spill_*_b); the only XLA work left is the spill
+    gather (one combined [xh | a_src] row gather) + tiny logit math.
+    Replaces band kernel + banded_gat_spill_pass_flat (VERDICT r2 item 3:
+    the scatter + renorm pass was ~half of the 3.2 ms layer).
+
+    ``dropout_masks``: optional ([(K+1)*H, N], [T, H, S_max]) post-softmax
+    weight multipliers (0 or 1/(1-p)); generated OUTSIDE with jax.random
+    so forward/backward/XLA-replay see the identical draw (same scheme as
+    the grid kernel, ops/pallas/grid_gat_fused.py).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    n, h_dim, c = xh.shape
+    hc = h_dim * c
+    xh_flat = xh.reshape(n, hc)
+    has_self = el_self_t is not None
+    if el_self_t is None:
+        el_self_t = jnp.zeros((h_dim, n), xh.dtype)
+
+    # spill tables: one combined row gather by source + tiny dst gathers
+    t_count, s_max = banded.spill_src_b.shape
+    src_tab = jnp.concatenate([xh_flat, a_src], axis=1)     # [N, HC+H]
+    sg = jnp.take(src_tab, banded.spill_src_b.reshape(-1), axis=0)
+    xh_spill_b = sg[:, :hc].reshape(t_count, s_max, hc)
+    a_src_s = sg[:, hc:]                                    # [T*S, H]
+    a_dst_s = jnp.take(a_dst, banded.spill_dst_b.reshape(-1), axis=0)
+    el_sp = (banded.spill_eattr_b.reshape(-1, banded.spill_eattr_b.shape[-1])
+             @ m_edge if m_edge is not None else 0.0)
+    l_s = jax.nn.leaky_relu(a_src_s + a_dst_s + el_sp, negative_slope)
+    dead = banded.spill_dst_local_b.reshape(-1) < 0
+    l_s = jnp.where(dead[:, None], -1e30, l_s)
+    l_spill_b = l_s.reshape(t_count, s_max, h_dim).transpose(0, 2, 1)
+
+    dmask_t, dmask_sp_b = (dropout_masks if dropout_masks is not None
+                           else (None, None))
+    return _fused_call_v2(
+        xh_flat, a_cat_mat, banded.loc_t, el_t, el_self_t,
+        l_spill_b, xh_spill_b, banded.spill_dst_local_b,
+        dmask_t, dmask_sp_b,
+        band_rows=banded.band_rows, heads=h_dim,
+        negative_slope=float(negative_slope), has_self=has_self,
+        has_dropout=dropout_masks is not None,
+        compute_dtype=compute_dtype, interpret=bool(interpret),
+    )
+
+
+def _bwd_kernel_v2(
+    xw_a, xw_b, xw_c,       # [R, HC] window chunks (as forward)
+    a_cat_mat,              # [HC, 2H]
+    loc,                    # [K, R]
+    el,                     # [K*H, R]
+    el_self,                # [H, R]
+    l_spill,                # [1, H, S]
+    xh_spill,               # [1, S, HC]
+    dst_loc,                # [1, 1, S]
+    *rest,                  # optional (dmask [(K+1)*H, R], dmask_sp
+                            # [1, H, S]), then dout [R, HC], then the 8
+                            # output refs (dxa, dxb, dxc, del, del_self,
+                            # dl_spill, dxh_spill, da_mat)
+    R: int,
+    K: int,
+    heads: int,
+    C: int,
+    negative_slope: float,
+    has_self: bool,
+    upcast_dots: bool,
+    has_dropout: bool,
+):
+    """Backward of _kernel_v2, flash-style: residuals are just the layer
+    inputs; the attention softmax (incl. the in-kernel spill fold) is
+    recomputed per band, then the kernel emits
+
+      * dxw split into center + two halo partials (dxa/dxb/dxc) — band t
+        touches window chunks t-1..t+1, so XLA shift-adds the three
+        streams (clamped windows contribute exact zeros at the edges),
+      * cotangents for the el / el_self / l_spill logit streams and the
+        gathered spill features (XLA's own vjps route them to params and
+        the spill-gather scatter-add),
+      * per-band partial d(a_cat_mat), accumulated in-place across the
+        sequential grid.
+
+    Dropout masks stream back in unchanged, so fwd/bwd see the identical
+    draw (VERDICT r2 item 2). m is treated as a constant: scaling every
+    exp term by e^delta leaves the normalized output invariant, so its
+    gradient is exactly zero (the min(l-m, 60) clamp gradient is dropped;
+    it only binds when spill terms dominate astronomically, where the
+    normalized gradient underflows anyway)."""
+    W = 3 * R
+    f32 = jnp.float32
+    HC = heads * C
+
+    def leaky(v):
+        return jnp.where(v >= 0, v, negative_slope * v)
+
+    def dleaky(v):
+        return jnp.where(v >= 0, 1.0, negative_slope)
+
+    if has_dropout:
+        dm_all = rest[0][:].astype(f32)
+        dm_sp = rest[1][0].astype(f32)
+        rest = rest[2:]
+    dout = rest[0]
+    (dxa_ref, dxb_ref, dxc_ref, del_ref, del_self_ref, dl_spill_ref,
+     dxh_spill_ref, da_mat_ref) = rest[1:9]
+
+    xw = jnp.concatenate([xw_a[:], xw_b[:], xw_c[:]], axis=0)   # [W, HC]
+    a_mat = a_cat_mat[:]
+    if upcast_dots:
+        xw = xw.astype(f32)
+        a_mat = a_mat.astype(f32)
+
+    # ---- forward recompute (identical to _kernel_v2) -------------------
+    ac_t = jax.lax.dot_general(a_mat, xw, (((0,), (1,)), ((), ())),
+                               preferred_element_type=f32)      # [2H, W]
+    ac_t_cd = ac_t.astype(xw.dtype)
+    a_dst_t = ac_t[heads:, R:2 * R]
+
+    loc_v = loc[:]
+    el_v = el[:].astype(f32)
+    rows_w = jax.lax.broadcasted_iota(jnp.int32, (W, R), 0)
+
+    onehots_t, pres, lgs = [], [], []
+    for k in range(K):
+        oh_t = (rows_w == loc_v[k:k + 1, :]).astype(xw.dtype)
+        onehots_t.append(oh_t)
+        g_ac = jnp.dot(ac_t_cd, oh_t, preferred_element_type=f32)
+        pre = g_ac[:heads] + a_dst_t + el_v[k * heads:(k + 1) * heads]
+        pres.append(pre)
+        lgs.append(jnp.where(loc_v[k:k + 1, :] >= 0, leaky(pre), -1e30))
+
+    if has_self:
+        pre_self = ac_t[:heads, R:2 * R] + a_dst_t + el_self[:]
+        self_lg = leaky(pre_self)
+        m = self_lg
+    else:
+        m = jnp.full((heads, R), -1e4, f32)
+    for k in range(K):
+        m = jnp.maximum(m, lgs[k])
+    denom = jnp.zeros((heads, R), f32)
+    exps = []
+    for k in range(K):
+        e = jnp.exp(lgs[k] - m)
+        exps.append(e)
+        denom = denom + e
+    if has_self:
+        e_self = jnp.exp(self_lg - m)
+        denom = denom + e_self
+    denom = jnp.maximum(denom, 1e-16)
+
+    dloc = dst_loc[0, 0, :]
+    s_dim = dloc.shape[0]
+    rows_r = jax.lax.broadcasted_iota(jnp.int32, (R, s_dim), 0)
+    oh_rs = (rows_r == dloc[None, :]).astype(f32)               # [R, S]
+    m_s = jax.lax.dot_general(m, oh_rs, (((1,), (0,)), ((), ())),
+                              preferred_element_type=f32)       # [H, S]
+    l_s = l_spill[0].astype(f32)
+    e_s = jnp.exp(jnp.minimum(l_s - m_s, 60.0))                 # [H, S]
+    denom_sp = jax.lax.dot_general(e_s, oh_rs, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+    denom_tot = denom + denom_sp
+    inv_d = 1.0 / denom_tot                                     # [H, R]
+
+    head_of_col = jax.lax.broadcasted_iota(jnp.int32, (heads, HC), 1) // C
+    head_row = jax.lax.broadcasted_iota(jnp.int32, (heads, HC), 0)
+    expand_mat = (head_of_col == head_row).astype(f32)
+
+    def expand_heads(w_hr):                       # [H, n] -> [n, HC]
+        return jax.lax.dot_general(
+            w_hr, expand_mat, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    def contract_heads(v_nhc):                    # [n, HC] -> [H, n]
+        return jax.lax.dot_general(
+            expand_mat, v_nhc, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+
+    if has_dropout:
+        dmk = [dm_all[k * heads:(k + 1) * heads] for k in range(K)]
+        dms = dm_all[K * heads:]
+        dmsp = dm_sp
+    else:
+        ones_hr = jnp.ones((heads, R), f32)
+        dmk = [ones_hr] * K
+        dms = ones_hr
+        dmsp = jnp.ones((heads, s_dim), f32)
+
+    # ---- gradient math -------------------------------------------------
+    u = dout[:].astype(f32)                                     # [R, HC]
+    dy = u * expand_heads(inv_d)                                # [R, HC]
+    xw_f32 = xw.astype(f32)
+    xw_b32 = xw_b[:].astype(f32)
+    xh_sp = xh_spill[0].astype(f32)                             # [S, HC]
+
+    # per-slot feature gathers + A_k; accumulate ddenom pieces
+    gxs, As = [], []
+    sum_eA = jnp.zeros((heads, R), f32)
+    for k in range(K):
+        g_x = jax.lax.dot_general(onehots_t[k], xw,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32)   # [R, HC]
+        gxs.append(g_x)
+        a_k = contract_heads(dy * g_x)                          # [H, R]
+        As.append(a_k)
+        sum_eA = sum_eA + exps[k] * dmk[k] * a_k
+    if has_self:
+        b_self = contract_heads(dy * xw_b32)                    # [H, R]
+        sum_eA = sum_eA + e_self * dms * b_self
+    # spill pieces
+    dM = jax.lax.dot_general(oh_rs, dy, (((0,), (0,)), ((), ())),
+                             preferred_element_type=f32)        # [S, HC]
+    c_s = contract_heads(dM * xh_sp)                            # hmm: [H, S]
+    sc_sp = jax.lax.dot_general(e_s * dmsp * c_s, oh_rs,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=f32)     # [H, R]
+    sum_eA = sum_eA + sc_sp
+
+    ddenom = -sum_eA * inv_d                                    # [H, R]
+
+    # in-band slots
+    dac_src = jnp.zeros((heads, W), f32)
+    dl_sum = jnp.zeros((heads, R), f32)
+    dxw = jnp.zeros((W, HC), f32)
+    del_rows = []
+    for k in range(K):
+        de_k = dmk[k] * As[k] + ddenom
+        dlg_k = exps[k] * de_k
+        dl_k = dlg_k * dleaky(pres[k])                          # [H, R]
+        del_rows.append(dl_k)
+        dl_sum = dl_sum + dl_k
+        dac_src = dac_src + jax.lax.dot_general(
+            dl_k, onehots_t[k].astype(f32), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)                         # [H, W]
+        dgx_k = expand_heads(exps[k] * dmk[k]) * dy             # [R, HC]
+        dxw = dxw + jax.lax.dot_general(
+            onehots_t[k].astype(f32), dgx_k, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)                         # [W, HC]
+
+    zeros_hr = jnp.zeros((heads, R), f32)
+    if has_self:
+        de_self = dms * b_self + ddenom
+        dlg_self = e_self * de_self
+        dl_self = dlg_self * dleaky(pre_self)                   # [H, R]
+        del_self_ref[:] = dl_self.astype(del_self_ref.dtype)
+        dac_src = dac_src + jnp.concatenate(
+            [zeros_hr, dl_self, zeros_hr], axis=1)
+        dl_sum_c = dl_sum + dl_self
+        # self feature term
+        dxw = dxw + jnp.concatenate(
+            [jnp.zeros((R, HC), f32),
+             expand_heads(e_self * dms) * dy,
+             jnp.zeros((R, HC), f32)], axis=0)
+    else:
+        del_self_ref[:] = jnp.zeros((heads, R), del_self_ref.dtype)
+        dl_sum_c = dl_sum
+
+    dac_dst = jnp.concatenate([zeros_hr, dl_sum_c, zeros_hr], axis=1)
+    dac = jnp.concatenate([dac_src, dac_dst], axis=0)           # [2H, W]
+
+    # attention-dot backward: dxw += a_mat @ dac; da_mat partial
+    dxw = dxw + jax.lax.dot_general(
+        dac, a_mat.astype(f32), (((0,), (1,)), ((), ())),
+        preferred_element_type=f32)                             # [W, HC]
+    da_mat_part = jax.lax.dot_general(
+        xw_f32, dac, (((0,), (1,)), ((), ())),
+        preferred_element_type=f32)                             # [HC, 2H]
+
+    # spill cotangents
+    de_s = dmsp * c_s + jax.lax.dot_general(
+        ddenom, oh_rs, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32)                             # [H, S]
+    dl_s = e_s * de_s
+    dl_spill_ref[:] = dl_s[None].astype(dl_spill_ref.dtype)
+    dxh_spill_ref[:] = (expand_heads(e_s * dmsp) * dM)[None].astype(
+        dxh_spill_ref.dtype)
+
+    del_ref[:] = jnp.concatenate(del_rows, axis=0).astype(del_ref.dtype)
+    dxa_ref[:] = dxw[:R].astype(dxa_ref.dtype)
+    dxb_ref[:] = dxw[R:2 * R].astype(dxb_ref.dtype)
+    dxc_ref[:] = dxw[2 * R:].astype(dxc_ref.dtype)
+
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        da_mat_ref[:] = da_mat_part.astype(da_mat_ref.dtype)
+
+    @pl.when(t != 0)
+    def _():
+        da_mat_ref[:] = da_mat_ref[:] + da_mat_part.astype(da_mat_ref.dtype)
+
+
+def _float0_zeros(x):
+    import numpy as _np
+
+    return _np.zeros(x.shape, jax.dtypes.float0)
+
+
+def _run_fused_v2_bwd(statics, res, g):
+    (band_rows, heads, negative_slope, has_self, has_dropout,
+     compute_dtype, interpret) = statics
+    (xh_flat, a_cat_mat, loc_t, el_t, el_self_t,
+     l_spill_b, xh_spill_b, dst_loc_b, dmask_t, dmask_sp_b) = res
+    n, hc = xh_flat.shape
+    r = band_rows
+    t_count = n // r
+    k = loc_t.shape[0]
+    c = hc // heads
+    s_max = dst_loc_b.shape[-1]
+    cd = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
+    def clampm1(t):
+        return jnp.maximum(t - 1, 0)
+
+    def clampp1(t):
+        return jnp.minimum(t + 1, t_count - 1)
+
+    kern = functools.partial(
+        _bwd_kernel_v2, R=r, K=k, heads=heads, C=c,
+        negative_slope=negative_slope, has_self=has_self,
+        has_dropout=has_dropout,
+        upcast_dots=interpret and compute_dtype == "bfloat16",
+    )
+    xcd = xh_flat.astype(cd)
+    in_specs = [
+        pl.BlockSpec((r, hc), lambda t: (clampm1(t), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, hc), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, hc), lambda t: (clampp1(t), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, r), lambda t: (0, t), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k * heads, r), lambda t: (0, t),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, r), lambda t: (0, t),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, heads, s_max), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s_max, hc), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, s_max), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xcd, xcd, xcd, a_cat_mat.astype(cd), loc_t, el_t, el_self_t,
+            l_spill_b, xh_spill_b.astype(cd), dst_loc_b]
+    if has_dropout:
+        in_specs.append(pl.BlockSpec(((k + 1) * heads, r), lambda t: (0, t),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, heads, s_max), lambda t: (t, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.extend([dmask_t, dmask_sp_b])
+    in_specs.append(pl.BlockSpec((r, hc), lambda t: (t, 0),
+                                 memory_space=pltpu.VMEM))
+    args.append(g.astype(jnp.float32))
+
+    f32 = jnp.float32
+    out_specs = (
+        pl.BlockSpec((r, hc), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, hc), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, hc), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k * heads, r), lambda t: (0, t),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, r), lambda t: (0, t), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, heads, s_max), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s_max, hc), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hc, 2 * heads), lambda t: (0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((n, hc), f32),            # dxa (halo t-1)
+        jax.ShapeDtypeStruct((n, hc), f32),            # dxb (center)
+        jax.ShapeDtypeStruct((n, hc), f32),            # dxc (halo t+1)
+        jax.ShapeDtypeStruct((k * heads, n), f32),     # del_t
+        jax.ShapeDtypeStruct((heads, n), f32),         # del_self_t
+        jax.ShapeDtypeStruct((t_count, heads, s_max), f32),   # dl_spill
+        jax.ShapeDtypeStruct((t_count, s_max, hc), f32),      # dxh_spill
+        jax.ShapeDtypeStruct((hc, 2 * heads), f32),    # da_cat_mat
+    )
+    dxa, dxb, dxc, del_t, del_self_t, dl_spill_b, dxh_spill_b, da_mat = (
+        pl.pallas_call(
+            kern,
+            grid=(t_count,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*args)
+    )
+    zero_rhc = jnp.zeros((r, hc), f32)
+    # band t's dxa belongs to chunk t-1 and dxc to chunk t+1; block 0 of
+    # dxa / block T-1 of dxc are exact zeros (clamped windows have no
+    # in-band slots there) and drop out of the shifts
+    dxh = (dxb
+           + jnp.concatenate([dxa[r:], zero_rhc], axis=0)
+           + jnp.concatenate([zero_rhc, dxc[:-r]], axis=0))
+    return (dxh, da_mat, _float0_zeros(loc_t), del_t,
+            del_self_t, dl_spill_b, dxh_spill_b, _float0_zeros(dst_loc_b),
+            jnp.zeros_like(dmask_t), jnp.zeros_like(dmask_sp_b))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_v2(statics, xh_flat, a_cat_mat, loc_t, el_t, el_self_t,
+              l_spill_b, xh_spill_b, dst_loc_b, dmask_t, dmask_sp_b):
+    return _run_fused_v2_forward(
+        statics, xh_flat, a_cat_mat, loc_t, el_t, el_self_t,
+        l_spill_b, xh_spill_b, dst_loc_b, dmask_t, dmask_sp_b)
+
+
+def _fused_v2_fwd(statics, *args):
+    return _run_fused_v2_forward(statics, *args), args
+
+
+_fused_v2.defvjp(_fused_v2_fwd, _run_fused_v2_bwd)

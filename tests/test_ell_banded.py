@@ -149,3 +149,266 @@ class TestBandedPallasParity:
         ref_n = np.asarray(ref)
         scale = np.abs(ref_n).max()
         assert np.abs(np.asarray(out) - ref_n).max() < 0.02 * max(scale, 1)
+
+
+class TestFusedSpillInKernel:
+    """Round-3 fused kernel (spill folded in-kernel, normalized output)
+    vs the legacy band-kernel + XLA-spill-fold path, plus the streamed
+    attention-dropout replay."""
+
+    def test_legacy_and_fused_match(self, knn_case):
+        g, banded, x = knn_case
+        _, _, v = _init_pair(g, x, banded)
+        legacy = GATConvEllBanded(out_channels=12, heads=2, edge_dim=3,
+                                  use_pallas=True, spill_in_kernel=False)
+        fused = GATConvEllBanded(out_channels=12, heads=2, edge_dim=3,
+                                 use_pallas=True, spill_in_kernel=True)
+        np.testing.assert_allclose(
+            np.asarray(fused.apply(v, g, banded, x)),
+            np.asarray(legacy.apply(v, g, banded, x)),
+            rtol=2e-5, atol=2e-5)
+
+    def test_dropout_replay_matches_dense_oracle(self, knn_case):
+        """The fused kernel's streamed dropout masks reproduce the exact
+        post-softmax-weight dropout semantics: a dense oracle applies the
+        SAME masks to the undropped softmax weights and must agree."""
+        from bathymetric_gnn_tpu.models.conv_ell import (
+            make_banded_dropout_masks)
+        from bathymetric_gnn_tpu.ops.ell import ell_gather, \
+            ell_masked_softmax
+
+        g, banded, x = knn_case
+        h_heads, cc, p = 2, 12, 0.35
+        fused = GATConvEllBanded(out_channels=cc, heads=h_heads, edge_dim=3,
+                                 use_pallas=True, spill_in_kernel=True,
+                                 dropout=p)
+        v = fused.init(jax.random.PRNGKey(7), g, banded, x)
+        rng = jax.random.PRNGKey(123)
+        out = fused.apply(v, g, banded, x, False,
+                          rngs={"dropout": rng})
+
+        # flax's make_rng derivation is internal; run the module a second
+        # time capturing the masks via a monkeypatched generator
+        captured = {}
+        import bathymetric_gnn_tpu.models.conv_ell as ce
+        orig = ce.make_banded_dropout_masks
+
+        def capture(rng_, *a, **kw):
+            res = orig(rng_, *a, **kw)
+            captured["masks"] = res
+            return res
+
+        ce.make_banded_dropout_masks = capture
+        try:
+            out2 = fused.apply(v, g, banded, x, False,
+                               rngs={"dropout": rng})
+        finally:
+            ce.make_banded_dropout_masks = orig
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
+                                   rtol=1e-6, atol=1e-6)
+        dm, dm_sp = captured["masks"]
+
+        # dense oracle: undropped softmax weights (GATConvELL math), then
+        # apply the streamed masks per edge via the band/spill mapping
+        params = v["params"]
+        n, k = g.nbr_src.shape
+        w_lin = params["lin_src"]
+        xh = (x @ w_lin).reshape(n, h_heads, cc)
+        a_src = jnp.sum(xh * params["att_src"], -1)
+        a_dst = jnp.sum(xh * params["att_dst"], -1)
+        we = params["lin_edge"]
+        m_edge = jnp.einsum("fac,xac->fa",
+                            we.reshape(3, h_heads, cc), params["att_edge"])
+        logits = (ell_gather(a_src, g.nbr_src) + a_dst[:, None, :]
+                  + g.edge_attr @ m_edge)
+        cnt = jnp.maximum(jnp.sum(g.nbr_mask.astype(jnp.float32), 1), 1.0)
+        mean_attr = jnp.sum(
+            jnp.where(g.nbr_mask[..., None], g.edge_attr, 0.0), 1
+        ) / cnt[:, None]
+        self_logit = jax.nn.leaky_relu(
+            a_src + a_dst + mean_attr @ m_edge, 0.2)
+        logits = jax.nn.leaky_relu(logits, 0.2)
+        wts, w_self = ell_masked_softmax(logits, g.nbr_mask, self_logit)
+
+        # per-(n, k) mask: in-band slots read dm[k*H+h, n]; spilled edges
+        # read dm_sp[band, h, position-in-band] (same compaction order as
+        # band_ell: spill_dst-major)
+        dm = np.asarray(dm)
+        dm_sp = np.asarray(dm_sp)
+        loc = np.asarray(banded.loc_t).T               # [N, K]
+        mask_nk = np.empty((n, k, h_heads), np.float32)
+        for kk in range(k):
+            mask_nk[:, kk, :] = dm[kk * h_heads:(kk + 1) * h_heads, :].T
+        sm = np.asarray(banded.spill_mask)
+        sd = np.asarray(banded.spill_dst)[sm]
+        sk = np.asarray(banded.spill_slot)[sm]
+        r = banded.band_rows
+        band_of = sd // r
+        counts = np.bincount(band_of, minlength=banded.loc_t.shape[1] // r)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        pos_in_band = np.arange(len(sd)) - starts[band_of]
+        mask_nk[sd, sk, :] = dm_sp[band_of, :, pos_in_band]
+        w_drop = np.asarray(wts) * mask_nk
+        w_self_drop = (np.asarray(w_self)
+                       * dm[k * h_heads:, :].T)
+
+        nbr_x = ell_gather(xh, g.nbr_src)
+        ref = (jnp.sum(nbr_x * jnp.asarray(w_drop)[..., None], axis=1)
+               + xh * jnp.asarray(w_self_drop)[..., None])
+        ref = ref.reshape(n, h_heads * cc) + params["bias"]
+        ref = jnp.where(g.node_mask[:, None], ref, 0.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+
+class TestFusedBackward:
+    """Custom-VJP backward kernel (interpret mode off-TPU) vs jax.grad of
+    the plain ELL layer — same params, same graph, full input+param
+    gradient parity."""
+
+    def test_grads_match_plain_ell(self, knn_case):
+        g, banded, x = knn_case
+        ell, band_p, v = _init_pair(g, x, banded)
+        fused = GATConvEllBanded(out_channels=12, heads=2, edge_dim=3,
+                                 use_pallas=True, spill_in_kernel=True)
+        rg = np.random.default_rng(11)
+        w = jnp.asarray(rg.normal(size=(g.num_nodes_padded, 24))
+                        .astype(np.float32))
+
+        def loss_ell(params, xx):
+            out = ell.apply({"params": params}, g, xx)
+            return jnp.sum(out * w)
+
+        def loss_fused(params, xx):
+            out = fused.apply({"params": params}, g, banded, xx)
+            return jnp.sum(out * w)
+
+        gp_ref, gx_ref = jax.grad(loss_ell, argnums=(0, 1))(v["params"], x)
+        gp, gx = jax.grad(loss_fused, argnums=(0, 1))(v["params"], x)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                                   rtol=5e-4, atol=5e-5)
+        flat_ref = jax.tree_util.tree_flatten_with_path(gp_ref)[0]
+        flat = dict(jax.tree_util.tree_flatten_with_path(gp)[0])
+        for path, leaf in flat_ref:
+            np.testing.assert_allclose(
+                np.asarray(flat[path]), np.asarray(leaf),
+                rtol=5e-4, atol=5e-5,
+                err_msg="/".join(str(p) for p in path))
+
+    def test_grads_no_self_loops(self, knn_case):
+        g, banded, x = knn_case
+        ell = GATConvELL(out_channels=12, heads=2, edge_dim=3,
+                         add_self_loops=False)
+        fused = GATConvEllBanded(out_channels=12, heads=2, edge_dim=3,
+                                 add_self_loops=False, use_pallas=True)
+        v = ell.init(jax.random.PRNGKey(5), g, x)
+
+        def loss(mod, params, *extra):
+            return jnp.sum(jnp.tanh(mod.apply({"params": params}, g,
+                                              *extra, x)))
+
+        g_ref = jax.grad(lambda p: loss(ell, p))(v["params"])
+        g_out = jax.grad(lambda p: loss(fused, p, banded))(v["params"])
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_flatten_with_path(g_ref)[0],
+                jax.tree_util.tree_flatten_with_path(g_out)[0]):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-4, atol=5e-5,
+                                       err_msg=str(pa))
+
+    def test_dropout_grads_match_masked_oracle(self, knn_case):
+        """Backward under dropout: grads of the fused kernel equal grads
+        of a pure-XLA replay applying the SAME captured masks."""
+        from bathymetric_gnn_tpu.models.conv_ell import (
+            make_banded_dropout_masks)
+        from bathymetric_gnn_tpu.ops.ell import ell_gather, \
+            ell_masked_softmax
+
+        g, banded, x = knn_case
+        h_heads, cc, p = 2, 12, 0.3
+        fused = GATConvEllBanded(out_channels=cc, heads=h_heads, edge_dim=3,
+                                 use_pallas=True, dropout=p)
+        v = fused.init(jax.random.PRNGKey(7), g, banded, x)
+        rng = jax.random.PRNGKey(321)
+
+        captured = {}
+        import bathymetric_gnn_tpu.models.conv_ell as ce
+        orig = ce.make_banded_dropout_masks
+
+        def capture(rng_, *a, **kw):
+            res = orig(rng_, *a, **kw)
+            captured["masks"] = res
+            return res
+
+        n, k = g.nbr_src.shape
+        rg = np.random.default_rng(13)
+        w = jnp.asarray(rg.normal(size=(n, h_heads * cc))
+                        .astype(np.float32))
+
+        def loss_fused(params, xx):
+            out = fused.apply({"params": params}, g, banded, xx, False,
+                              rngs={"dropout": rng})
+            return jnp.sum(out * w)
+
+        ce.make_banded_dropout_masks = capture
+        try:
+            gp, gx = jax.grad(loss_fused, argnums=(0, 1))(v["params"], x)
+        finally:
+            ce.make_banded_dropout_masks = orig
+        dm, dm_sp = captured["masks"]
+
+        # edge-level mask tensor (same mapping as the forward oracle test)
+        dm_n = np.asarray(dm)
+        dm_sp_n = np.asarray(dm_sp)
+        mask_nk = np.empty((n, k, h_heads), np.float32)
+        for kk in range(k):
+            mask_nk[:, kk, :] = dm_n[kk * h_heads:(kk + 1) * h_heads, :].T
+        sm = np.asarray(banded.spill_mask)
+        sd = np.asarray(banded.spill_dst)[sm]
+        sk = np.asarray(banded.spill_slot)[sm]
+        r = banded.band_rows
+        band_of = sd // r
+        counts = np.bincount(band_of, minlength=banded.loc_t.shape[1] // r)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        pos_in_band = np.arange(len(sd)) - starts[band_of]
+        mask_nk[sd, sk, :] = dm_sp_n[band_of, :, pos_in_band]
+        mask_nk = jnp.asarray(mask_nk)
+        mask_self = jnp.asarray(dm_n[k * h_heads:, :].T)
+
+        def loss_oracle(params, xx):
+            xh = (xx @ params["lin_src"]).reshape(n, h_heads, cc)
+            a_src = jnp.sum(xh * params["att_src"], -1)
+            a_dst = jnp.sum(xh * params["att_dst"], -1)
+            m_edge = jnp.einsum(
+                "fac,xac->fa", params["lin_edge"].reshape(3, h_heads, cc),
+                params["att_edge"])
+            logits = (ell_gather(a_src, g.nbr_src) + a_dst[:, None, :]
+                      + g.edge_attr @ m_edge)
+            cnt = jnp.maximum(
+                jnp.sum(g.nbr_mask.astype(jnp.float32), 1), 1.0)
+            mean_attr = jnp.sum(
+                jnp.where(g.nbr_mask[..., None], g.edge_attr, 0.0), 1
+            ) / cnt[:, None]
+            self_logit = jax.nn.leaky_relu(
+                a_src + a_dst + mean_attr @ m_edge, 0.2)
+            logits = jax.nn.leaky_relu(logits, 0.2)
+            wts, w_self = ell_masked_softmax(logits, g.nbr_mask, self_logit)
+            wts = wts * mask_nk
+            w_self = w_self * mask_self
+            nbr_x = ell_gather(xh, g.nbr_src)
+            out = (jnp.sum(nbr_x * wts[..., None], axis=1)
+                   + xh * w_self[..., None])
+            out = out.reshape(n, h_heads * cc) + params["bias"]
+            out = jnp.where(g.node_mask[:, None], out, 0.0)
+            return jnp.sum(out * w)
+
+        gp_ref, gx_ref = jax.grad(loss_oracle, argnums=(0, 1))(
+            v["params"], x)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                                   rtol=1e-3, atol=1e-4)
+        flat = dict(jax.tree_util.tree_flatten_with_path(gp)[0])
+        for path, leaf in jax.tree_util.tree_flatten_with_path(gp_ref)[0]:
+            np.testing.assert_allclose(
+                np.asarray(flat[path]), np.asarray(leaf),
+                rtol=1e-3, atol=1e-4,
+                err_msg="/".join(str(p) for p in path))

@@ -165,3 +165,52 @@ class TestNativeVR:
         assert (tmp_path / "sc.tif").exists()
         h = VRBagHandler(out)
         assert len(list(h.iterate_refinements())) == 3
+
+
+class TestKnnSparseKernelWiring:
+    """knn_k>0 + sparse_kernel routing in NativeVRProcessor (VERDICT r2
+    items 2/3: the fused banded kernel wired into a production entry)."""
+
+    def test_knn_banded_matches_xla_sparse(self, trained_vars):
+        import dataclasses
+
+        cfg0, model, variables = trained_vars
+        grids = []
+        rg = np.random.default_rng(4)
+        for shape in [(40, 40), (28, 36)]:
+            d = (20 + rg.normal(0, 1, shape)).astype(np.float32)
+            d[1, 1] = np.nan
+            grids.append(d)
+
+        outs = {}
+        for kernel in ("xla", "banded_pallas"):
+            cfg = Config(
+                model=dataclasses.replace(cfg0.model, sparse_kernel=kernel),
+                graph=dataclasses.replace(cfg0.graph, knn_k=8),
+                bucket=cfg0.bucket, tile=cfg0.tile,
+            )
+            proc = NativeVRProcessor(model, variables, cfg,
+                                     node_budget=10_000)
+            assert proc.use_slab is False
+            assert proc.sparse_kernel == kernel
+            for d in grids:
+                proc.add_to_batch(d, np.zeros_like(d), (1.0, 1.0))
+            outs[kernel] = proc.drain()
+        for a, b, d in zip(outs["xla"], outs["banded_pallas"], grids):
+            valid = np.isfinite(d)
+            np.testing.assert_array_equal(a["classification"][valid],
+                                          b["classification"][valid])
+            np.testing.assert_allclose(a["confidence"][valid],
+                                       b["confidence"][valid], atol=2e-3)
+            np.testing.assert_allclose(a["correction"][valid],
+                                       b["correction"][valid], atol=2e-2)
+
+    def test_auto_resolves_to_xla_off_tpu(self, trained_vars):
+        import dataclasses
+
+        cfg0, model, variables = trained_vars
+        cfg = Config(model=cfg0.model,
+                     graph=dataclasses.replace(cfg0.graph, knn_k=8),
+                     bucket=cfg0.bucket, tile=cfg0.tile)
+        proc = NativeVRProcessor(model, variables, cfg)
+        assert proc.sparse_kernel == "xla"  # CPU backend under tests
