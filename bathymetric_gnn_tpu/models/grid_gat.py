@@ -102,15 +102,14 @@ class GridGATConv(nn.Module):
         k = nbr_mask.shape[0]
         cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
-        # bf16 kernel I/O is inference-only (the custom-VJP training path
-        # stays f32), so it requires the fused-epilogue call (bn_scale set).
         # Training (deterministic=False) uses the fused kernels too — both
         # directions are Pallas (custom VJP backward kernel); attention
         # dropout becomes a streamed multiplier mask generated here so the
-        # fwd and bwd kernels see the identical draw.
-        pallas_ok = (self.use_pallas and self.edge_dim is not None
-                     and (self.compute_dtype == "float32"
-                          or bn_scale is not None))
+        # fwd and bwd kernels see the identical draw. Since round 3 bf16
+        # kernel I/O also serves training (f32 recompute in the backward
+        # kernel; f32 master weights in optax), not just the fused-epilogue
+        # inference path.
+        pallas_ok = self.use_pallas and self.edge_dim is not None
         if pallas_ok:
             dmask = None
             if not deterministic and self.dropout > 0:
@@ -240,7 +239,7 @@ class GridGATConv(nn.Module):
                                         bn_bias=bn_bias,
                                         fuse_relu=fuse_relu,
                                         compute_dtype=cd)
-        out = fused_grid_gat(*args)
+        out = fused_grid_gat(*args, cd)
         if not direct:
             hgt, wid = x.shape[:2]
             out = out.reshape(hgt, wid, hds, c).mean(2)

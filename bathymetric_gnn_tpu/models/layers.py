@@ -37,6 +37,10 @@ class MaskedBatchNorm(nn.Module):
         use_running_average: bool = False,
         return_affine: bool = False,
     ) -> jax.Array:
+        # bf16 producers (Pallas kernel I/O) hand activations over in bf16;
+        # batch moments over tens of thousands of nodes must accumulate in
+        # f32 or the running statistics drift
+        x = x.astype(jnp.float32)
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         ra_mean = self.variable(

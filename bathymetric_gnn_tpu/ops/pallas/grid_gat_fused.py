@@ -275,19 +275,27 @@ def _reference_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(10, 11, 12, 13, 14))
+                   nondiff_argnums=(10, 11, 12, 13, 14, 15))
 def fused_grid_gat(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
                    valid, bias, dmask, connectivity, negative_slope,
-                   use_edge, block_rows, interpret):
+                   use_edge, block_rows, interpret,
+                   compute_dtype=jnp.float32):
     """Fused GAT layer: returns [H, W, heads*C] (pre-BatchNorm, pre-concat
     semantics already applied — caller reshapes/means heads).
 
     ``dmask`` (or None): [K+1, heads, H, W] attention-dropout multipliers
-    applied to the post-softmax weights; streamed into both kernels."""
+    applied to the post-softmax weights; streamed into both kernels.
+
+    ``compute_dtype=bfloat16`` streams activations/operands through HBM in
+    bf16 with f32 softmax/accumulation (round-3: now available to the
+    TRAINING path too, not just the fused-epilogue inference path). The
+    backward kernel recomputes the softmax in f32 — gradients treat the
+    bf16 rounding as identity (standard mixed-precision practice; master
+    weights stay f32 in optax)."""
     return _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
                           nbr_mask, valid, bias, connectivity,
                           negative_slope, use_edge, block_rows, interpret,
-                          dmask=dmask)
+                          dmask=dmask, compute_dtype=compute_dtype)
 
 
 def fused_grid_gat_infer(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
@@ -834,23 +842,26 @@ def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
 
 def _fwd(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask, valid,
          bias, dmask, connectivity, negative_slope, use_edge, block_rows,
-         interpret):
+         interpret, compute_dtype=jnp.float32):
     out = _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
                          nbr_mask, valid, bias, connectivity,
                          negative_slope, use_edge, block_rows, interpret,
-                         dmask=dmask)
+                         dmask=dmask, compute_dtype=compute_dtype)
     return out, (x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
                  valid, bias, dmask)
 
 
 def _bwd(connectivity, negative_slope, use_edge, block_rows, interpret,
-         residuals, g):
+         compute_dtype, residuals, g):
     (x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask, valid, bias,
      dmask) = residuals
     offsets = _offsets(connectivity)
     hgt = x.shape[0]
     _, tiles_ok = _resolve_block_rows(hgt, block_rows)
     dmask_ct = None if dmask is None else jnp.zeros_like(dmask)
+    # backward recomputes in f32 regardless of the forward's stream dtype
+    # (bf16 rounding treated as identity); cotangent may arrive bf16
+    g = g.astype(jnp.float32)
 
     # `use_edge` gates the bwd kernel only (it assumes the edge-logit
     # path); when False, forward may run Pallas while backward takes the
@@ -868,7 +879,7 @@ def _bwd(connectivity, negative_slope, use_edge, block_rows, interpret,
         return _reference_forward(
             x_, w_, as_, ad_, me_, eattr, nbr_mask, valid, b_,
             offsets=offsets, negative_slope=negative_slope,
-            use_edge=use_edge, dmask=dmask)
+            use_edge=use_edge, dmask=dmask).astype(jnp.float32)
 
     _, vjp = jax.vjp(ref, x, w_lin, a_src_mat, a_dst_mat, m_edge, bias)
     dx, dw, das, dad, dme, db = vjp(g)

@@ -159,7 +159,13 @@ class GridTrainer:
             feature_extractor_layers=mc.feature_extractor_layers,
             edge_dim=3, connectivity=config.graph.connectivity,
             compute_dtype=mc.compute_dtype,
-            use_pallas=(getattr(mc, "use_pallas", "auto") == "on"),
+            # matches inference (inference/pipeline.py): the Pallas fwd+bwd
+            # kernels are the default TPU training path since round 3 (the
+            # grad-parity suite in tests/test_pallas_fused.py soaked a full
+            # round); "off" forces the XLA formulation
+            use_pallas=(getattr(mc, "use_pallas", "auto") == "on") or (
+                getattr(mc, "use_pallas", "auto") == "auto"
+                and jax.default_backend() == "tpu"),
         )
         self.train_dataset = train_dataset
         self.val_dataset = val_dataset

@@ -295,3 +295,61 @@ class TestPallasFlagInModel:
             np.testing.assert_allclose(
                 np.asarray(out_p[key]), np.asarray(out_x[key]),
                 rtol=2e-3, atol=2e-3, err_msg=key)
+
+
+class TestBf16Training:
+    """Round-3: bf16 kernel I/O on the TRAINING path (custom-VJP kernels
+    with bf16 forward streams, f32 backward recompute). Gradients must
+    stay close to the f32 path — bf16 rounding is treated as identity."""
+
+    def test_bf16_train_grads_close_to_f32(self):
+        from bathymetric_gnn_tpu.models.grid_gat import GridBathymetricGNN
+
+        depth = make_ramp_surface(32, 128)
+        valid = np.ones((32, 128), bool)
+        feats, v, nbr, eattr, _ = build_grid_inputs(
+            np.nan_to_num(depth).astype(np.float32), valid)
+
+        def make(cd):
+            return GridBathymetricGNN(hidden_channels=16, num_layers=2,
+                                      heads=4, dropout=0.0,
+                                      use_pallas=True, compute_dtype=cd)
+
+        m32, m16 = make("float32"), make("bfloat16")
+        variables = m32.init(jax.random.PRNGKey(0), feats, v, nbr, eattr)
+
+        def loss(model, params):
+            out, _ = model.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                feats, v, nbr, eattr, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(1)},
+                mutable=["batch_stats"])
+            return (jnp.sum(out["class_logits"] ** 2)
+                    + jnp.sum(out["confidence"] ** 2))
+
+        l32, g32 = jax.value_and_grad(
+            lambda p: loss(m32, p))(variables["params"])
+        l16, g16 = jax.value_and_grad(
+            lambda p: loss(m16, p))(variables["params"])
+        assert np.isfinite(float(l16))
+        np.testing.assert_allclose(float(l16), float(l32), rtol=0.05)
+        flat32 = jax.tree_util.tree_flatten_with_path(g32)[0]
+        flat16 = dict(jax.tree_util.tree_flatten_with_path(g16)[0])
+        norms = {p: np.linalg.norm(np.asarray(l)) for p, l in flat32}
+        big = max(norms.values())
+        for path, leaf in flat32:
+            a, b = np.asarray(flat16[path]), np.asarray(leaf)
+            name = "/".join(str(p) for p in path)
+            if norms[path] < 1e-3 * big:
+                # near-zero reference grads (e.g. a pre-BatchNorm bias is
+                # a no-op direction): bf16 cotangent rounding breaks the
+                # exact cancellation — only require the noise stays small
+                # relative to the dominant gradients
+                assert np.linalg.norm(a - b) < 0.05 * big, (
+                    name, np.linalg.norm(a - b), big)
+                continue
+            # relative L2: what matters for training is the direction of
+            # the whole leaf, not single bf16-rounded elements
+            rel = np.linalg.norm(a - b) / norms[path]
+            assert rel < 0.3, (name, rel)
