@@ -64,25 +64,54 @@ class GeoTiffInfo:
         return (x - i * sx, sx, 0.0, y + j * sy, 0.0, -sy)
 
 
-def _read_ifd_entries(f, base, offset, endian):
+def _read_ifd_entries(f, base, offset, endian, bigtiff=False):
     f.seek(offset)
-    (count,) = struct.unpack(endian + "H", f.read(2))
+    if bigtiff:  # BigTIFF: 8-byte counts/offsets, 20-byte entries
+        (count,) = struct.unpack(endian + "Q", f.read(8))
+        ent_hdr, inline = endian + "HHQ", 8
+    else:
+        (count,) = struct.unpack(endian + "H", f.read(2))
+        ent_hdr, inline = endian + "HHI", 4
     entries = {}
     for _ in range(count):
-        tag, typ, n = struct.unpack(endian + "HHI", f.read(8))
-        raw = f.read(4)
+        tag, typ, n = struct.unpack(ent_hdr,
+                                    f.read(struct.calcsize(ent_hdr)))
+        raw = f.read(inline)
         size = TYPE_SIZES.get(typ, 1) * n
-        if size <= 4:
+        if size <= inline:
             data = raw[:size]
         else:
-            (off,) = struct.unpack(endian + "I", raw)
+            (off,) = struct.unpack(endian + ("Q" if bigtiff else "I"), raw)
             pos = f.tell()
             f.seek(off)
             data = f.read(size)
             f.seek(pos)
         entries[tag] = (typ, n, data)
-    (next_ifd,) = struct.unpack(endian + "I", f.read(4))
+    (next_ifd,) = struct.unpack(endian + ("Q" if bigtiff else "I"),
+                                f.read(8 if bigtiff else 4))
     return entries, next_ifd
+
+
+def _read_tiff_header(f, path):
+    """Parse the classic/BigTIFF header; returns (endian, bigtiff, off0)."""
+    hdr = f.read(4)
+    if hdr[:2] == b"II":
+        endian = "<"
+    elif hdr[:2] == b"MM":
+        endian = ">"
+    else:
+        raise ValueError(f"{path}: not a TIFF")
+    (magic,) = struct.unpack(endian + "H", hdr[2:4])
+    if magic == 42:
+        (off0,) = struct.unpack(endian + "I", f.read(4))
+        return endian, False, off0
+    if magic == 43:  # BigTIFF
+        osize, zero = struct.unpack(endian + "HH", f.read(4))
+        if osize != 8 or zero != 0:
+            raise ValueError(f"{path}: malformed BigTIFF header")
+        (off0,) = struct.unpack(endian + "Q", f.read(8))
+        return endian, True, off0
+    raise ValueError(f"{path}: bad TIFF magic {magic}")
 
 
 def _values(entry, endian):
@@ -100,17 +129,8 @@ def read_geotiff(path) -> Tuple[np.ndarray, GeoTiffInfo]:
     """Read a strip-based TIFF into [bands, H, W]."""
     path = Path(path)
     with open(path, "rb") as f:
-        hdr = f.read(8)
-        if hdr[:2] == b"II":
-            endian = "<"
-        elif hdr[:2] == b"MM":
-            endian = ">"
-        else:
-            raise ValueError(f"{path}: not a TIFF")
-        magic, off0 = struct.unpack(endian + "HI", hdr[2:])
-        if magic != 42:
-            raise ValueError(f"{path}: bad TIFF magic {magic}")
-        entries, _ = _read_ifd_entries(f, 0, off0, endian)
+        endian, bigtiff, off0 = _read_tiff_header(f, path)
+        entries, _ = _read_ifd_entries(f, 0, off0, endian, bigtiff)
 
         def get(tag, default=None):
             if tag not in entries:
@@ -205,15 +225,9 @@ class GeoTiffWindowReader:
     def __init__(self, path):
         self.path = Path(path)
         self._f = open(self.path, "rb")
-        hdr = self._f.read(8)
-        if hdr[:2] == b"II":
-            self.endian = "<"
-        elif hdr[:2] == b"MM":
-            self.endian = ">"
-        else:
-            raise ValueError(f"{path}: not a TIFF")
-        _, off0 = struct.unpack(self.endian + "HI", hdr[2:])
-        entries, _ = _read_ifd_entries(self._f, 0, off0, self.endian)
+        self.endian, self.bigtiff, off0 = _read_tiff_header(self._f, path)
+        entries, _ = _read_ifd_entries(self._f, 0, off0, self.endian,
+                                       self.bigtiff)
         self._entries = entries
 
         def get(tag, default=None):
@@ -300,16 +314,30 @@ class GeoTiffWindowReader:
 
 class StreamingGeoTiffWriter:
     """Row-streaming multi-band writer (uncompressed planar strips with
-    precomputed offsets, so rows can be written by seek as they finalize)."""
+    precomputed offsets, so rows can be written by seek as they finalize).
+
+    Rasters whose data section would cross the classic-TIFF 4 GB offset
+    limit are written as **BigTIFF** (version 43, 8-byte offsets, LONG8
+    strip tables) automatically — a 5-band f32 16384^2 output is already
+    5.4 GB, and the 60k^2 flagship survey (BASELINE config #5) is 14 GB
+    per band. The reference gets this from GDAL (`BIGTIFF=IF_SAFER`);
+    this pure-Python codec provides it natively."""
 
     def __init__(self, path, height: int, width: int, bands: int,
                  band_descriptions=None, pixel_scale=None, origin=None,
-                 nodata=None, crs_wkt=None, rows_per_strip: int = 64):
+                 nodata=None, crs_wkt=None, rows_per_strip: int = 64,
+                 bigtiff: Optional[bool] = None):
         self.height, self.width, self.bands = height, width, bands
         self.rows_per_strip = rows_per_strip
         self.dtype = np.dtype("<f4")
         n_strips_band = (height + rows_per_strip - 1) // rows_per_strip
         n_strips = n_strips_band * bands
+        if bigtiff is None:
+            # header + strip tables are < 64 MiB in practice; switch well
+            # before the 4 GiB offset ceiling
+            bigtiff = (height * width * 4 * bands
+                       + 64 * 1024 * 1024) >= 2 ** 32
+        self.bigtiff = bool(bigtiff)
 
         entries: List[Tuple[int, int, int, bytes]] = []
 
@@ -363,17 +391,30 @@ class StreamingGeoTiffWriter:
                 nrows = min(rows_per_strip, height - s * rows_per_strip)
                 strip_sizes.append(nrows * row_bytes)
 
+        # classic vs BigTIFF layout parameters
+        if self.bigtiff:
+            header_size = 16
+            entry_size, inline_cap = 20, 8
+            count_size, nextifd_size = 8, 8
+            off_typ, off_code = 16, "Q"   # TIFF_LONG8
+            ent_fmt = "<HHQ"
+        else:
+            header_size = 8
+            entry_size, inline_cap = 12, 4
+            count_size, nextifd_size = 2, 4
+            off_typ, off_code = 4, "I"
+            ent_fmt = "<HHI"
+
         n_entries = len(entries) + 2
-        header_size = 8
-        ifd_size = 2 + n_entries * 12 + 4
+        ifd_size = count_size + n_entries * entry_size + nextifd_size
         ext = bytearray()
         ext_base = header_size + ifd_size
 
-        off_data = struct.pack("<" + "I" * n_strips, *([0] * n_strips))
-        cnt_data = struct.pack("<" + "I" * n_strips, *strip_sizes)
+        off_data = struct.pack("<" + off_code * n_strips, *([0] * n_strips))
+        cnt_data = struct.pack("<" + off_code * n_strips, *strip_sizes)
         all_entries = entries + [
-            (T_STRIP_OFFSETS, 4, n_strips, off_data),
-            (T_STRIP_BYTECOUNTS, 4, n_strips, cnt_data),
+            (T_STRIP_OFFSETS, off_typ, n_strips, off_data),
+            (T_STRIP_BYTECOUNTS, off_typ, n_strips, cnt_data),
         ]
         all_entries.sort(key=lambda e: e[0])
 
@@ -381,9 +422,9 @@ class StreamingGeoTiffWriter:
         placeholders = {}
         for tag, typ, n, data in all_entries:
             size = len(data)
-            if size <= 4:
-                packed.append(struct.pack("<HHI", tag, typ, n)
-                              + data.ljust(4, b"\x00"))
+            if size <= inline_cap:
+                packed.append(struct.pack(ent_fmt, tag, typ, n)
+                              + data.ljust(inline_cap, b"\x00"))
             else:
                 off = ext_base + len(ext)
                 if tag == T_STRIP_OFFSETS:
@@ -391,7 +432,8 @@ class StreamingGeoTiffWriter:
                 ext.extend(data)
                 if len(ext) % 2:
                     ext.extend(b"\x00")
-                packed.append(struct.pack("<HHII", tag, typ, n, off))
+                packed.append(struct.pack(ent_fmt, tag, typ, n)
+                              + struct.pack("<" + off_code, off))
 
         data_start = ext_base + len(ext)
         self._strip_offsets = []
@@ -402,28 +444,37 @@ class StreamingGeoTiffWriter:
         self._n_strips_band = n_strips_band
 
         self._f = open(path, "w+b")
-        self._f.write(b"II*\x00" + struct.pack("<I", header_size))
-        self._f.write(struct.pack("<H", len(packed)))
+        if self.bigtiff:
+            self._f.write(b"II+\x00" + struct.pack("<HHQ", 8, 0,
+                                                   header_size))
+            self._f.write(struct.pack("<Q", len(packed)))
+        else:
+            self._f.write(b"II*\x00" + struct.pack("<I", header_size))
+            self._f.write(struct.pack("<H", len(packed)))
         for p_ in packed:
             self._f.write(p_)
-        self._f.write(struct.pack("<I", 0))
+        self._f.write(struct.pack("<" + off_code, 0))
         self._f.write(bytes(ext))
         self._f.truncate(pos)
         if T_STRIP_OFFSETS in placeholders:
             self._f.seek(placeholders[T_STRIP_OFFSETS])
-            self._f.write(struct.pack("<" + "I" * n_strips,
+            self._f.write(struct.pack("<" + off_code * n_strips,
                                       *self._strip_offsets))
         else:  # single strip: inline entry was already 0; rewrite IFD slot
-            self._rewrite_inline_offsets(packed, header_size)
+            self._rewrite_inline_offsets(packed, header_size, count_size,
+                                         entry_size, off_code)
 
-    def _rewrite_inline_offsets(self, packed, header_size):
-        pos = header_size + 2
+    def _rewrite_inline_offsets(self, packed, header_size, count_size=2,
+                                entry_size=12, off_code="I"):
+        pos = header_size + count_size
         for p_ in packed:
             tag = struct.unpack("<H", p_[:2])[0]
             if tag == T_STRIP_OFFSETS:
-                self._f.seek(pos + 8)
-                self._f.write(struct.pack("<I", self._strip_offsets[0]))
-            pos += 12
+                self._f.seek(pos + entry_size - (8 if off_code == "Q"
+                                                 else 4))
+                self._f.write(struct.pack("<" + off_code,
+                                          self._strip_offsets[0]))
+            pos += entry_size
 
     def write_rows(self, band: int, r0: int, rows: np.ndarray):
         """Write [n, W] float32 rows starting at row r0. Rows must align to
@@ -474,6 +525,11 @@ def write_geotiff(
     if bands.ndim == 2:
         bands = bands[None]
     b, h, w = bands.shape
+    if bands.nbytes + (1 << 26) >= 2 ** 32 and not compress:
+        raise NotImplementedError(
+            "write_geotiff emits classic TIFF (4 GB offset limit); use "
+            "StreamingGeoTiffWriter, which switches to BigTIFF "
+            "automatically, for rasters this large")
     dtype = bands.dtype
     if dtype == np.float64:
         bands = bands.astype(np.float32)
@@ -602,6 +658,10 @@ def write_geotiff(
     for s in strips:
         offs.append(pos)
         pos += len(s)
+    if pos >= 2 ** 32:
+        raise NotImplementedError(
+            "compressed output exceeds the classic-TIFF 4 GB limit; use "
+            "StreamingGeoTiffWriter (automatic BigTIFF) for this raster")
 
     real_off_data = struct.pack("<" + "I" * len(strips), *offs)
     if len(strips) == 1 and len(real_off_data) <= 4:

@@ -257,3 +257,48 @@ class TestBagRoundTripViaWriter:
         np.testing.assert_allclose(g2.depth[g2.valid_mask],
                                    (depth + 2.0)[g2.valid_mask], rtol=1e-6)
         assert (tmp_path / "out_gnn_outputs.tif").exists()
+
+
+class TestBigTiff:
+    """BigTIFF (version 43) round trips: required beyond the classic-TIFF
+    4 GB offset limit (a 5-band f32 16384^2 output is 5.4 GB; the 60k^2
+    flagship survey is 14 GB/band). Forced small here via bigtiff=True."""
+
+    def test_streaming_writer_bigtiff_roundtrip(self, tmp_path):
+        from bathymetric_gnn_tpu.io.geotiff import (GeoTiffWindowReader,
+                                                    StreamingGeoTiffWriter,
+                                                    read_geotiff)
+
+        rg = np.random.default_rng(0)
+        data = rg.normal(20, 3, (2, 130, 96)).astype(np.float32)
+        p = tmp_path / "big.tif"
+        w = StreamingGeoTiffWriter(p, 130, 96, 2, pixel_scale=(2.0, 2.0),
+                                   origin=(10.0, 260.0), nodata=-9999.0,
+                                   rows_per_strip=64, bigtiff=True)
+        assert w.bigtiff
+        for b in range(2):
+            for r0 in range(0, 130, 64):
+                w.write_rows(b, r0, data[b, r0:r0 + 64])
+        w.close()
+        # magic must be 43
+        with open(p, "rb") as f:
+            hdr = f.read(4)
+        assert hdr[:2] == b"II" and hdr[2] == 43
+
+        arr, info = read_geotiff(p)
+        np.testing.assert_array_equal(arr, data)
+        assert info.pixel_scale[:2] == (2.0, 2.0)
+        assert info.nodata == -9999.0
+
+        with GeoTiffWindowReader(p) as r:
+            assert r.bigtiff
+            np.testing.assert_array_equal(r.read_rows(1, 64, 130),
+                                          data[1, 64:130])
+
+    def test_auto_threshold_selects_classic_for_small(self, tmp_path):
+        from bathymetric_gnn_tpu.io.geotiff import StreamingGeoTiffWriter
+
+        w = StreamingGeoTiffWriter(tmp_path / "small.tif", 32, 32, 1)
+        assert not w.bigtiff
+        w.write_rows(0, 0, np.zeros((32, 32), np.float32))
+        w.close()
