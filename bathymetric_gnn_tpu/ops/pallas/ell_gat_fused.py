@@ -522,12 +522,19 @@ def ell_gat_fused_pallas(
     if el_self_t is None:
         el_self_t = jnp.zeros((h_dim, n), xh.dtype)
 
-    # spill tables: one combined row gather by source + tiny dst gathers
+    # spill tables: separate row gathers (a concat([xh | a_src]) table
+    # costs a full [N, HC+H] HBM round trip + a slice-apart copy per
+    # layer — profiled at ~400 us of the 2.6 ms layer; the split gathers
+    # read only what they fetch)
     t_count, s_max = banded.spill_src_b.shape
-    src_tab = jnp.concatenate([xh_flat, a_src], axis=1)     # [N, HC+H]
-    sg = jnp.take(src_tab, banded.spill_src_b.reshape(-1), axis=0)
-    xh_spill_b = sg[:, :hc].reshape(t_count, s_max, hc)
-    a_src_s = sg[:, hc:]                                    # [T*S, H]
+    flat_src = banded.spill_src_b.reshape(-1)
+    # gather in the compute dtype: S_max padding makes the spill table
+    # ~2x the live spill rows, so halving its bytes matters (bf16 path)
+    gather_src = (xh_flat.astype(jnp.bfloat16)
+                  if compute_dtype == "bfloat16" else xh_flat)
+    xh_spill_b = jnp.take(gather_src, flat_src, axis=0).reshape(
+        t_count, s_max, hc)
+    a_src_s = jnp.take(a_src, flat_src, axis=0)             # [T*S, H]
     a_dst_s = jnp.take(a_dst, banded.spill_dst_b.reshape(-1), axis=0)
     el_sp = (banded.spill_eattr_b.reshape(-1, banded.spill_eattr_b.shape[-1])
              @ m_edge if m_edge is not None else 0.0)
@@ -902,8 +909,12 @@ def _run_fused_v2_bwd(statics, res, g):
     dxh = (dxb
            + jnp.concatenate([dxa[r:], zero_rhc], axis=0)
            + jnp.concatenate([zero_rhc, dxc[:-r]], axis=0))
-    return (dxh, da_mat, _float0_zeros(loc_t), del_t,
-            del_self_t, dl_spill_b, dxh_spill_b, _float0_zeros(dst_loc_b),
+    return (dxh.astype(xh_flat.dtype), da_mat.astype(a_cat_mat.dtype),
+            _float0_zeros(loc_t), del_t.astype(el_t.dtype),
+            del_self_t.astype(el_self_t.dtype),
+            dl_spill_b.astype(l_spill_b.dtype),
+            dxh_spill_b.astype(xh_spill_b.dtype),
+            _float0_zeros(dst_loc_b),
             jnp.zeros_like(dmask_t), jnp.zeros_like(dmask_sp_b))
 
 
