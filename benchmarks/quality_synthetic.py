@@ -26,6 +26,13 @@ def main():
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--output-json")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="training compute dtype (kernel I/O streams)")
+    ap.add_argument("--use-pallas", default="auto",
+                    choices=["auto", "on", "off"])
+    ap.add_argument("--seed", type=int, default=0,
+                    help="shifts surface + trainer seeds (variance runs)")
     args = ap.parse_args()
 
     import jax
@@ -59,15 +66,17 @@ def main():
     cfg = Config(
         model=ModelConfig(hidden_channels=args.hidden,
                           num_layers=args.layers, heads=4,
-                          compute_dtype="bfloat16"),
-        training=TrainingConfig(epochs=args.epochs, batch_size=8, seed=0,
+                          compute_dtype=args.dtype,
+                          use_pallas=args.use_pallas),
+        training=TrainingConfig(epochs=args.epochs, batch_size=8,
+                                seed=args.seed,
                                 early_stop_patience=100),
     )
-    train_grids = [make_surface(i) for i in range(4)]
-    val_grids = [make_surface(100 + i) for i in range(2)]
+    train_grids = [make_surface(1000 * args.seed + i) for i in range(4)]
+    val_grids = [make_surface(1000 * args.seed + 100 + i) for i in range(2)]
     train_ds = SyntheticGridDataset(train_grids, cfg,
                                     tile_size=args.tile_size, overlap=16,
-                                    seed=0)
+                                    seed=args.seed)
     val_ds = SyntheticGridDataset(val_grids, cfg, tile_size=args.tile_size,
                                   overlap=16, seed=1)
     trainer = GridTrainer(cfg, train_ds, val_ds,
