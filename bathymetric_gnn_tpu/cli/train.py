@@ -49,6 +49,13 @@ def parse_args(argv=None):
     p.add_argument("--num-layers", type=int)
     p.add_argument("--heads", type=int)
     p.add_argument("--seed", type=int)
+    p.add_argument("--knn-k", type=int,
+                   help=">0: train on k-NN graphs over valid cells "
+                        "(banded-ELL fused kernels on TPU) instead of "
+                        "grid connectivity")
+    p.add_argument("--sparse-kernel",
+                   choices=["auto", "xla", "banded", "banded_pallas"],
+                   help="sparse message-passing kernel for knn graphs")
     p.add_argument("--trainer", choices=["graph", "grid"], default="graph",
                    help="graph: COO/batched-graph trainer (any graph); "
                         "grid: batched dense-grid trainer (fast path for "
@@ -73,6 +80,8 @@ def main(argv=None):
         ("model", "hidden_channels", args.hidden_channels),
         ("model", "num_layers", args.num_layers),
         ("model", "heads", args.heads),
+        ("graph", "knn_k", args.knn_k),
+        ("model", "sparse_kernel", args.sparse_kernel),
     ]:
         if val is not None:
             setattr(getattr(cfg, sec), key, val)

@@ -155,13 +155,13 @@ def band_ell(g: EllGraph, band_rows: int = 128,
     spill_dst_local_b = np.full((t_count, 1, s_max), -1, np.int32)
     spill_eattr_b = np.zeros((t_count, s_max, fe), np.float32)
     starts = np.concatenate([[0], np.cumsum(counts)])
-    for t in range(t_count):
-        a, b = starts[t], starts[t + 1]
-        c = b - a
-        spill_src_b[t, :c] = src[sd[a:b], sk[a:b]]
-        spill_dst_b[t, :c] = sd[a:b]
-        spill_dst_local_b[t, 0, :c] = sd[a:b] % r
-        spill_eattr_b[t, :c] = eattr[sd[a:b], sk[a:b]]
+    # vectorized band-major fill (this runs per TRAINING batch since the
+    # Trainer's sparse path bands each merged batch graph)
+    pos_in_band = np.arange(s) - starts[band_of]
+    spill_src_b[band_of, pos_in_band] = src[sd, sk]
+    spill_dst_b[band_of, pos_in_band] = sd
+    spill_dst_local_b[band_of, 0, pos_in_band] = sd % r
+    spill_eattr_b[band_of, pos_in_band] = eattr[sd, sk]
 
     return BandedEll(
         loc_t=jnp.asarray(np.ascontiguousarray(loc.T)),

@@ -90,16 +90,21 @@ def make_loss_fn(model, training_cfg, class_weights, huber_delta, train: bool,
     how valid/noise/FP nodes distribute across shards."""
     tc = training_cfg
 
-    def loss_fn(params, batch_stats, graph, targets, dropout_rng):
+    def loss_fn(params, batch_stats, graph, targets, dropout_rng,
+                banded=None):
         variables = {"params": params, "batch_stats": batch_stats}
+        # the banded kwarg exists only on the ELL model (sparse trainer
+        # path); COO/grid callers leave it None
+        kw = {"banded": banded} if banded is not None else {}
         if train:
             out, updates = model.apply(
                 variables, graph, deterministic=False,
                 rngs={"dropout": dropout_rng}, mutable=["batch_stats"],
+                **kw,
             )
             new_bs = updates["batch_stats"]
         else:
-            out = model.apply(variables, graph, deterministic=True)
+            out = model.apply(variables, graph, deterministic=True, **kw)
             new_bs = batch_stats
         node_mask = graph.node_mask
         terms = L.combined_loss_terms(
@@ -170,8 +175,51 @@ class Trainer:
 
         self.metrics = MetricsLogger(self.output_dir / "metrics.jsonl")
         self.meter = ThroughputMeter()
+
+        # sparse k-NN training path: with knn_k > 0 the batches are
+        # bounded-degree k-NN graphs; train through the banded-ELL fused
+        # kernels (fwd + custom-VJP bwd + streamed attention dropout)
+        # instead of COO segment ops. Parameters are identical across
+        # layouts, so checkpoints stay interchangeable.
+        mc = config.model
+        self.knn_k = int(config.graph.knn_k)
+        sk = getattr(mc, "sparse_kernel", "auto")
+        if sk == "auto":
+            sk = ("banded_pallas"
+                  if (jax.default_backend() == "tpu" and self.knn_k > 0
+                      and model.gnn_type == "GAT") else "xla")
+        if sk != "xla" and (self.knn_k == 0 or model.gnn_type != "GAT"):
+            logger.warning("sparse_kernel=%s needs knn_k>0 and GAT; "
+                           "training on the COO path", sk)
+            sk = "xla"
+        self.sparse_kernel = sk
+        self.use_banded_training = sk != "xla"
+        if self.use_banded_training:
+            from ..models.gnn_ell import EllBathymetricGNN
+
+            self.ell_model = EllBathymetricGNN(
+                hidden_channels=model.hidden_channels,
+                num_layers=model.num_layers, gnn_type=model.gnn_type,
+                heads=model.heads, num_classes=model.num_classes,
+                dropout=model.dropout,
+                predict_correction=model.predict_correction,
+                feature_extractor_layers=model.feature_extractor_layers,
+                edge_dim=model.edge_dim,
+                sparse_kernel=sk,
+            )
         self._train_step = self._make_step(train=True)
         self._eval_step = self._make_step(train=False)
+
+    def _sparse_batch(self, stacked_graph):
+        """Stacked [B, ...] batch -> (EllGraph, BandedEll) on host (the
+        band/spill compaction is numpy; merged graphs keep each sample's
+        node bucket, a multiple of 128, so bands never span samples)."""
+        from ..ops.ell import coo_to_ell
+        from ..ops.ell_banded import band_ell
+
+        merged = merge_stacked(stacked_graph)
+        g = coo_to_ell(merged, max_degree=self.knn_k)
+        return g, band_ell(g, band_rows=128)
 
     # -- setup -------------------------------------------------------------
 
@@ -189,6 +237,20 @@ class Trainer:
             return jnp.ones(self.config.model.num_classes), 1.0
 
     def init_state(self, sample_graph: PaddedGraph) -> TrainState:
+        if self.use_banded_training:
+            g, banded = self._sparse_batch(
+                jax.tree.map(lambda x: x[None], sample_graph))
+            variables = self.ell_model.init(
+                jax.random.PRNGKey(self.config.training.seed), g,
+                banded=banded)
+            params = variables["params"]
+            batch_stats = variables.get("batch_stats", {})
+            opt_state = self.optimizer.init(params)
+            n_params = sum(int(np.prod(p.shape))
+                           for p in jax.tree.leaves(params))
+            logger.info("model initialized (banded sparse path): %d "
+                        "parameters", n_params)
+            return TrainState(params, batch_stats, opt_state, jnp.int32(0))
         big = merge_stacked(jax.tree.map(lambda x: x[None], sample_graph))
         variables = self.model.init(jax.random.PRNGKey(self.config.training.seed),
                                     big)
@@ -203,6 +265,8 @@ class Trainer:
 
     def _make_step(self, train: bool):
         tc = self.config.training
+        if self.use_banded_training:
+            return self._make_sparse_step(train)
         loss_fn = make_loss_fn(self.model, tc, self.class_weights,
                                self.huber_delta, train)
 
@@ -246,6 +310,52 @@ class Trainer:
 
         return estep
 
+    def _make_sparse_step(self, train: bool):
+        """Banded-ELL train/eval step: the batch arrives pre-converted by
+        _sparse_batch (merge + coo_to_ell + band_ell happen on host; the
+        banded tables enter the jit as pytree args)."""
+        tc = self.config.training
+        loss_fn = make_loss_fn(self.ell_model, tc, self.class_weights,
+                               self.huber_delta, train)
+
+        if train:
+            @jax.jit
+            def step(state: TrainState, g, banded, targets, dropout_rng,
+                     lr):
+                targets = jax.tree.map(
+                    lambda t: t.reshape((-1,) + t.shape[2:]), targets
+                )
+                (total, (losses, acc, new_bs)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, state.batch_stats, g, targets,
+                  dropout_rng, banded)
+                inj = state.opt_state[1]
+                inj = inj._replace(
+                    hyperparams={**inj.hyperparams, "learning_rate": lr}
+                )
+                opt_state = (state.opt_state[0], inj)
+                updates, new_opt = self.optimizer.update(
+                    grads, opt_state, state.params
+                )
+                new_params = optax.apply_updates(state.params, updates)
+                return (TrainState(new_params, new_bs, new_opt,
+                                   state.step + 1), losses, acc)
+
+            return step
+
+        @jax.jit
+        def estep(state: TrainState, g, banded, targets):
+            targets = jax.tree.map(
+                lambda t: t.reshape((-1,) + t.shape[2:]), targets
+            )
+            total, (losses, acc, _) = loss_fn(
+                state.params, state.batch_stats, g, targets,
+                jax.random.PRNGKey(0), banded,
+            )
+            return losses, acc
+
+        return estep
+
     # -- loop --------------------------------------------------------------
 
     def train(self, resume: bool = False) -> TrainState:
@@ -280,9 +390,15 @@ class Trainer:
                     epoch_batches(self.train_dataset, tc.batch_size,
                                   self.rng)):
                 self.jax_rng, sub = jax.random.split(self.jax_rng)
-                state, losses, acc = self._train_step(
-                    state, graph, targets, sub, jnp.float32(lr)
-                )
+                if self.use_banded_training:
+                    g, banded = self._sparse_batch(graph)
+                    state, losses, acc = self._train_step(
+                        state, g, banded, targets, sub, jnp.float32(lr)
+                    )
+                else:
+                    state, losses, acc = self._train_step(
+                        state, graph, targets, sub, jnp.float32(lr)
+                    )
                 self.meter.add(edges=int(np.asarray(graph.edge_mask).sum()),
                                nodes=int(np.asarray(graph.node_mask).sum()),
                                tiles=graph.node_mask.shape[0])
@@ -343,7 +459,11 @@ class Trainer:
         rng = np.random.default_rng(0)
         for graph, targets in epoch_batches(ds, self.config.training.batch_size,
                                             rng, shuffle=False):
-            losses, a = self._eval_step(state, graph, targets)
+            if self.use_banded_training:
+                g, banded = self._sparse_batch(graph)
+                losses, a = self._eval_step(state, g, banded, targets)
+            else:
+                losses, a = self._eval_step(state, graph, targets)
             tot += float(losses["total"])
             acc += float(a)
             nb += 1

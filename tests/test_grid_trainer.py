@@ -2,6 +2,7 @@
 checkpoint -> inference pipeline round trip."""
 
 import jax
+import json
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -106,3 +107,65 @@ class TestGridTrainer:
         t2 = GridTrainer(cfg2, ds, output_dir=str(out))
         t2.train(resume=True)
         assert len(t2.history["train_loss"]) == 1
+
+
+class TestBandedSparseTrainer:
+    """knn_k>0 + sparse_kernel=banded_pallas: the graph Trainer trains
+    through the fused banded-ELL kernels (interpret mode on CPU)."""
+
+    def test_sparse_training_loss_decreases(self, tmp_path):
+        from bathymetric_gnn_tpu.config.config import (BucketConfig, Config,
+                                                       GraphConfig,
+                                                       ModelConfig,
+                                                       SyntheticNoiseConfig,
+                                                       TrainingConfig)
+        from bathymetric_gnn_tpu.models.gnn import make_model
+        from bathymetric_gnn_tpu.training.datasets import \
+            SyntheticTileDataset
+        from bathymetric_gnn_tpu.training.trainer import Trainer
+
+        from conftest import make_ramp_surface
+
+        cfg = Config(
+            model=ModelConfig(hidden_channels=8, num_layers=2, heads=2,
+                              dropout=0.1, sparse_kernel="banded_pallas"),
+            graph=GraphConfig(knn_k=8),
+            bucket=BucketConfig(node_buckets=(2048,)),
+            training=TrainingConfig(epochs=4, batch_size=2, seed=0,
+                                    early_stop_patience=10),
+            # learnable noise (spikes only) so 4 epochs trend downward
+            # despite per-epoch re-augmentation
+            synthetic_noise=SyntheticNoiseConfig(
+                gaussian_enabled=False, blob_enabled=False,
+                systematic_enabled=False,
+                spike_density_range=(0.05, 0.08)),
+        )
+        grids = [make_ramp_surface(80, 80, seed=i) for i in range(2)]
+        ds = SyntheticTileDataset(grids, cfg, tile_size=40, overlap=8,
+                                  min_valid_ratio=0.0, seed=0)
+        model = make_model(cfg.model, in_channels=7, edge_dim=3)
+        tr = Trainer(cfg, model, ds, output_dir=str(tmp_path / "ck"))
+        assert tr.use_banded_training
+        state = tr.train()
+        losses = [json.loads(l)["train_loss"]
+                  for l in open(tmp_path / "ck" / "metrics.jsonl")]
+        assert min(losses[1:]) < losses[0]
+
+        # checkpoint round-trips into the knn-native inference path
+        import dataclasses
+
+        from bathymetric_gnn_tpu.inference.native_vr import \
+            NativeVRProcessor
+        from bathymetric_gnn_tpu.inference.pipeline import \
+            load_checkpoint_variables
+
+        params, bs, ckpt_cfg, meta = load_checkpoint_variables(
+            str(tmp_path / "ck" / "best"))
+        proc = NativeVRProcessor(
+            model, {"params": params, "batch_stats": bs}, cfg,
+            node_budget=10_000)
+        assert proc.knn_k == 8
+        d = (20 + np.random.default_rng(0).normal(0, 1, (30, 30))
+             ).astype(np.float32)
+        out = proc.process_grid(d, np.zeros_like(d), (1.0, 1.0))
+        assert set(np.unique(out["classification"])) <= {0, 1, 2}
