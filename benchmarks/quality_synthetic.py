@@ -31,6 +31,8 @@ def main():
                     help="training compute dtype (kernel I/O streams)")
     ap.add_argument("--use-pallas", default="auto",
                     choices=["auto", "on", "off"])
+    ap.add_argument("--surfaces", type=int, default=4,
+                    help="number of 512^2 training surfaces")
     ap.add_argument("--seed", type=int, default=0,
                     help="shifts surface + trainer seeds (variance runs)")
     args = ap.parse_args()
@@ -72,7 +74,8 @@ def main():
                                 seed=args.seed,
                                 early_stop_patience=100),
     )
-    train_grids = [make_surface(1000 * args.seed + i) for i in range(4)]
+    train_grids = [make_surface(1000 * args.seed + i)
+                   for i in range(args.surfaces)]
     val_grids = [make_surface(1000 * args.seed + 100 + i) for i in range(2)]
     train_ds = SyntheticGridDataset(train_grids, cfg,
                                     tile_size=args.tile_size, overlap=16,
