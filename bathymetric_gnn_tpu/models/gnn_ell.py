@@ -34,6 +34,7 @@ class EllGNNBackbone(nn.Module):
     # ell_gat_fused.py). Parameters are identical across all three.
     sparse_kernel: str = "xla"
     compute_dtype: str = "float32"
+    bn_axis_name: Optional[str] = None  # sync-BN for data-parallel shards
 
     @nn.compact
     def __call__(self, g: EllGraph, x: jax.Array,
@@ -85,7 +86,8 @@ class EllGNNBackbone(nn.Module):
                 width = self.hidden_channels
             else:
                 raise ValueError(self.gnn_type)
-            x = MaskedBatchNorm(width, name=f"MaskedBatchNorm_{i}")(
+            x = MaskedBatchNorm(width, axis_name=self.bn_axis_name,
+                                name=f"MaskedBatchNorm_{i}")(
                 x, g.node_mask, use_running_average)
             if not last:
                 x = nn.relu(x)
@@ -107,6 +109,7 @@ class EllBathymetricGNN(nn.Module):
     edge_dim: Optional[int] = 3
     sparse_kernel: str = "xla"
     compute_dtype: str = "float32"
+    bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, g: EllGraph, deterministic: bool = True,
@@ -123,6 +126,7 @@ class EllBathymetricGNN(nn.Module):
             edge_dim=self.edge_dim if self.gnn_type == "GAT" else None,
             sparse_kernel=self.sparse_kernel,
             compute_dtype=self.compute_dtype,
+            bn_axis_name=self.bn_axis_name,
             name="GNNBackbone_0",
         )(g, x, deterministic, use_running_average, banded=banded)
         logits = ClassificationHead(

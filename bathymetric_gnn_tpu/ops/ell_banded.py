@@ -96,11 +96,14 @@ class BandedEll:
 
 
 def band_ell(g: EllGraph, band_rows: int = 128,
-             spill_pad: int = 512) -> BandedEll:
+             spill_pad: int = 512,
+             s_max: Optional[int] = None) -> BandedEll:
     """Host-side band/spill split of an EllGraph (Morton-ordered nodes).
 
     N must be a multiple of ``band_rows`` (EllGraphs are bucket-padded to
     powers of two, so R in {128, 256, 512} always divides N).
+    ``s_max`` forces the per-band spill-table width (data-parallel
+    shards must stack identically-shaped BandedEll pytrees).
     """
     src = np.asarray(g.nbr_src)          # [N, K]
     mask = np.asarray(g.nbr_mask)
@@ -145,11 +148,15 @@ def band_ell(g: EllGraph, band_rows: int = 128,
     t_count = n // r
     band_of = sd // r
     counts = np.bincount(band_of, minlength=t_count)
-    # power-of-two bucket (floor 64) so jitted consumers compile for a
-    # bounded set of spill-table shapes across graph batches
-    s_max = 64
-    while s_max < int(counts.max() if len(counts) else 1):
-        s_max *= 2
+    if s_max is None:
+        # power-of-two bucket (floor 64) so jitted consumers compile for
+        # a bounded set of spill-table shapes across graph batches
+        s_max = 64
+        while s_max < int(counts.max() if len(counts) else 1):
+            s_max *= 2
+    elif len(counts) and int(counts.max()) > s_max:
+        raise ValueError(f"forced s_max={s_max} < max per-band spill "
+                         f"count {int(counts.max())}")
     spill_src_b = np.zeros((t_count, s_max), np.int32)
     spill_dst_b = np.zeros((t_count, s_max), np.int32)
     spill_dst_local_b = np.full((t_count, 1, s_max), -1, np.int32)

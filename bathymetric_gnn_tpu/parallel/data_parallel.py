@@ -167,3 +167,102 @@ def make_dp_eval_step(model, training_cfg, class_weights, huber_delta,
         )(state.params, state.batch_stats, graph, targets)
 
     return jax.jit(step)
+
+
+def stack_banded_batches(pairs):
+    """[(EllGraph, BandedEll)] per shard -> leading-dim-stacked pytrees.
+
+    Shards must be built with identical bucket/s_max/spill_pad shapes
+    (band_ell(s_max=...) + shared node buckets). Used by the sparse dp
+    step: each device owns one merged k-NN sub-batch."""
+    gs, bs = zip(*pairs)
+    g = jax.tree.map(lambda *xs: jnp.stack(xs), *gs)
+    banded = jax.tree.map(lambda *xs: jnp.stack(xs), *bs)
+    return g, banded
+
+
+def make_dp_sparse_train_step(
+    ell_model,
+    optimizer,
+    training_cfg,
+    class_weights,
+    huber_delta,
+    mesh: Mesh,
+    exact: bool = True,
+) -> Callable:
+    """Data-parallel train step for the banded-ELL sparse (k-NN) path.
+
+    Inputs: state (replicated); (g, banded) stacked [D, ...] from
+    stack_banded_batches with D == the data-axis size; targets stacked
+    [D, n_pad]; rng; lr. Each shard runs the fused banded kernels
+    (fwd + custom-VJP bwd + streamed dropout) on its own merged
+    sub-batch; grads/metrics pmean over ``data``. ``exact=True`` psums
+    loss numerators/denominators and BN moments so the sharded objective
+    equals the single-device step on the concatenated batch (same
+    argument as make_dp_train_step)."""
+    data_axis = "data"
+    if exact:
+        ell_model = ell_model.clone(bn_axis_name=data_axis)
+    loss_fn = make_loss_fn(ell_model, training_cfg, class_weights,
+                           huber_delta, train=True,
+                           terms_axis=data_axis if exact else None)
+
+    def shard_fn(params, batch_stats, opt_state, g, banded, targets,
+                 rng, lr):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+        g = jax.tree.map(lambda x: x[0], g)
+        banded = jax.tree.map(lambda x: x[0], banded)
+        # targets arrive stacked [1, B/D, n_pad]: drop the shard dim and
+        # flatten samples to match the merged graph's node axis
+        flat_targets = jax.tree.map(
+            lambda t: t[0].reshape((-1,) + t.shape[3:]), targets
+        )
+        (total, (losses, acc, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch_stats, g, flat_targets, rng, banded)
+        grads = jax.lax.pmean(grads, data_axis)
+        losses = jax.lax.pmean(losses, data_axis)
+        acc = jax.lax.pmean(acc, data_axis)
+        new_bs = jax.lax.pmean(new_bs, data_axis)
+        inj = opt_state[1]
+        inj = inj._replace(hyperparams={**inj.hyperparams,
+                                        "learning_rate": lr})
+        updates, new_opt = optimizer.update(grads, (opt_state[0], inj),
+                                            params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_bs, new_opt, losses, acc
+
+    def step(state: TrainState, g, banded, targets, rng, lr):
+        sharded = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(
+                _spec_like(state.params, P()),
+                _spec_like(state.batch_stats, P()),
+                jax.tree.map(lambda _: P(), state.opt_state),
+                jax.tree.map(lambda _: P(data_axis), g),
+                jax.tree.map(lambda _: P(data_axis), banded),
+                jax.tree.map(lambda _: P(data_axis), targets),
+                P(),
+                P(),
+            ),
+            out_specs=(
+                _spec_like(state.params, P()),
+                _spec_like(state.batch_stats, P()),
+                jax.tree.map(lambda _: P(), state.opt_state),
+                P(),
+                P(),
+            ),
+            check_vma=False,
+        )
+        new_params, new_bs, new_opt, losses, acc = sharded(
+            state.params, state.batch_stats, state.opt_state, g, banded,
+            targets, rng, lr,
+        )
+        return (
+            TrainState(new_params, new_bs, new_opt, state.step + 1),
+            losses,
+            acc,
+        )
+
+    return jax.jit(step)

@@ -141,3 +141,104 @@ class TestMultiHostScaffolding:
         np.testing.assert_array_equal(np.asarray(out["a"]),
                                       np.asarray(batch["a"]))
         assert out["a"].sharding.spec[0] == "data"
+
+
+class TestDpSparseKnn:
+    """Data-parallel banded-ELL (k-NN) training step: 8 shards on the
+    virtual CPU mesh, fused kernels in interpret mode; exact semantics
+    vs the single-device sparse step on the concatenated batch."""
+
+    def _build(self, n_shards=4, per_shard=2):
+        import dataclasses
+
+        from bathymetric_gnn_tpu.ops.ell import coo_to_ell
+        from bathymetric_gnn_tpu.ops.ell_banded import band_ell
+
+        cfg = Config(
+            model=ModelConfig(hidden_channels=8, num_layers=2, heads=2,
+                              dropout=0.0,
+                              sparse_kernel="banded_pallas"),
+            bucket=BucketConfig(node_buckets=(2048,)),
+            training=TrainingConfig(batch_size=n_shards * per_shard,
+                                    seed=0),
+        )
+        cfg.graph = dataclasses.replace(cfg.graph, knn_k=8)
+        grids = [make_ramp_surface(80, 80, seed=i) for i in range(2)]
+        ds = SyntheticTileDataset(grids, cfg, tile_size=40, overlap=8,
+                                  min_valid_ratio=0.0, seed=0)
+        samples = [ds[i % len(ds)] for i in range(n_shards * per_shard)]
+        graph, targets = collate_samples(samples)
+
+        from bathymetric_gnn_tpu.ops.graph import merge_stacked
+
+        def to_sparse(stacked, s_max, spill_pad):
+            merged = merge_stacked(stacked)
+            g = coo_to_ell(merged, max_degree=8)
+            return g, band_ell(g, band_rows=128, s_max=s_max,
+                               spill_pad=spill_pad)
+
+        return cfg, ds, graph, targets, to_sparse
+
+    def test_dp_sparse_matches_single_device(self):
+        import dataclasses
+
+        import optax
+
+        from bathymetric_gnn_tpu.models.gnn import make_model
+        from bathymetric_gnn_tpu.models.gnn_ell import make_ell_model
+        from bathymetric_gnn_tpu.parallel.data_parallel import (
+            make_dp_sparse_train_step, stack_banded_batches)
+
+        n_shards, per_shard = 4, 2
+        cfg, ds, graph, targets, to_sparse = self._build(n_shards,
+                                                         per_shard)
+        model = make_model(cfg.model, in_channels=7, edge_dim=3)
+        trainer = Trainer(cfg, model, ds, output_dir="/tmp/dp_sparse_ck")
+        state = trainer.init_state(ds[0].graph)
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.inject_hyperparams(optax.sgd)(learning_rate=1e-3),
+        )
+        state = dataclasses.replace(state,
+                                    opt_state=optimizer.init(state.params))
+
+        # per-shard sparse batches with FORCED common shapes
+        take = lambda t, i: jax.tree.map(
+            lambda a: a[i * per_shard:(i + 1) * per_shard], t)
+        pairs = [to_sparse(take(graph, i), s_max=256, spill_pad=65536)
+                 for i in range(n_shards)]
+        g_st, banded_st = stack_banded_batches(pairs)
+        targets_st = jax.tree.map(
+            lambda a: a.reshape((n_shards, per_shard) + a.shape[1:]),
+            targets)
+
+        mesh = make_mesh(n_shards, graph_axis=1)
+        ell_model = make_ell_model(cfg.model, in_channels=7, edge_dim=3,
+                                   sparse_kernel="banded_pallas")
+        dp_step = make_dp_sparse_train_step(
+            ell_model, optimizer, cfg.training, trainer.class_weights,
+            trainer.huber_delta, mesh,
+        )
+        rng = jax.random.PRNGKey(0)
+        new_state, losses, acc = dp_step(state, g_st, banded_st,
+                                         targets_st, rng,
+                                         jnp.float32(1e-3))
+        assert np.isfinite(float(losses["total"]))
+
+        # single-device reference: trainer's own sparse step on the FULL
+        # concatenated batch (same kernels, dropout 0, sync semantics)
+        g_all, banded_all = to_sparse(graph, s_max=256, spill_pad=65536)
+        trainer.optimizer = optimizer
+        sstep = trainer._make_sparse_step(train=True)
+        ref_state, ref_losses, ref_acc = sstep(
+            state, g_all, banded_all, targets, rng, jnp.float32(1e-3))
+
+        np.testing.assert_allclose(float(losses["total"]),
+                                   float(ref_losses["total"]), rtol=1e-4)
+        np.testing.assert_allclose(float(acc), float(ref_acc), rtol=1e-5)
+        for (pa, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(new_state.params)[0],
+                jax.tree_util.tree_flatten_with_path(ref_state.params)[0]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=1e-6,
+                                       err_msg=str(pa))
