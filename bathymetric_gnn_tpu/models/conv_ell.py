@@ -163,8 +163,18 @@ class GATConvEllBanded(nn.Module):
 
         att_src = self.param("att_src", _glorot, (1, h, c))
         att_dst = self.param("att_dst", _glorot, (1, h, c))
-        a_src = jnp.sum(xh * att_src, -1)  # [N, H] (spill pass + XLA ref)
-        a_dst = jnp.sum(xh * att_dst, -1)
+        if self.use_pallas and self.spill_in_kernel:
+            # fold W into the attention dots: a = x @ (W . att) — exactly
+            # sum(xh * att, -1) but keeps xh2's ONLY consumers the Pallas
+            # kernel + the spill row gather, so XLA emits it row-major
+            # (the [n, h, c] einsum consumer made it pick a column-major
+            # dot layout + two relayout copies, ~0.2 ms/layer)
+            w3 = w.reshape(x.shape[-1], h, c)
+            a_src = x @ jnp.einsum("fhc,xhc->fh", w3, att_src)   # [N, H]
+            a_dst = x @ jnp.einsum("fhc,xhc->fh", w3, att_dst)
+        else:
+            a_src = jnp.sum(xh * att_src, -1)  # [N, H]
+            a_dst = jnp.sum(xh * att_dst, -1)
 
         m_edge = None
         if self.edge_dim is not None and g.edge_attr.shape[-1] > 0:
