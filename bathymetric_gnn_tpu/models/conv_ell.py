@@ -163,12 +163,15 @@ class GATConvEllBanded(nn.Module):
 
         att_src = self.param("att_src", _glorot, (1, h, c))
         att_dst = self.param("att_dst", _glorot, (1, h, c))
-        if self.use_pallas and self.spill_in_kernel:
-            # fold W into the attention dots: a = x @ (W . att) — exactly
-            # sum(xh * att, -1) but keeps xh2's ONLY consumers the Pallas
-            # kernel + the spill row gather, so XLA emits it row-major
-            # (the [n, h, c] einsum consumer made it pick a column-major
-            # dot layout + two relayout copies, ~0.2 ms/layer)
+        if self.use_pallas and self.spill_in_kernel and deterministic:
+            # INFERENCE: fold W into the attention dots, a = x @ (W.att)
+            # — exactly sum(xh * att, -1) but keeps xh2's ONLY consumers
+            # the Pallas kernel + the spill row gather, so XLA emits it
+            # row-major (the [n, h, c] einsum consumer made it pick a
+            # column-major dot layout + two relayout copies,
+            # ~0.2 ms/layer: 236 -> 257 M edges/s on the 65k bench).
+            # Training keeps the xh form — the folded version adds a
+            # second dx path in the backward and measured 6% SLOWER.
             w3 = w.reshape(x.shape[-1], h, c)
             a_src = x @ jnp.einsum("fhc,xhc->fh", w3, att_src)   # [N, H]
             a_dst = x @ jnp.einsum("fhc,xhc->fh", w3, att_dst)
