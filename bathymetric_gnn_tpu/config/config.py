@@ -105,6 +105,10 @@ class TrainingConfig:
     shoal_safety_weight: float = 0.5
     num_workers: int = 4
     seed: int = 0
+    # dropout-key PRNG implementation: "auto" uses the TPU-native rbg
+    # generator on TPU (threefry mask generation measured 3.5 ms/step on
+    # the 65k sparse train step — ~9% of the step) and threefry elsewhere
+    rng_impl: str = "auto"  # auto | threefry | rbg
 
 
 @dataclass

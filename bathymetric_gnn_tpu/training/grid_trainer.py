@@ -174,7 +174,9 @@ class GridTrainer:
         self.resolution = resolution
         tc = config.training
         self.rng = np.random.default_rng(tc.seed)
-        self.jax_rng = jax.random.PRNGKey(tc.seed)
+        from .trainer import make_dropout_key
+        self.jax_rng = make_dropout_key(tc.seed,
+                                        getattr(tc, 'rng_impl', 'auto'))
 
         try:
             cw = L.compute_class_weights(train_dataset.class_counts())

@@ -46,6 +46,19 @@ def cosine_warm_restarts(epoch: int, base_lr: float, t0: int = 10,
     )
 
 
+def make_dropout_key(seed: int, rng_impl: str = "auto"):
+    """Training dropout key with a configurable PRNG implementation.
+
+    "auto" picks the TPU-native rbg generator on TPU — threefry mask
+    generation measured 3.5 ms/step (~9%) on the 65k sparse train step —
+    and threefry elsewhere (bit-stable test expectations)."""
+    if rng_impl == "auto":
+        rng_impl = "rbg" if jax.default_backend() == "tpu" else "threefry"
+    if rng_impl == "threefry":
+        return jax.random.PRNGKey(seed)
+    return jax.random.key(seed, impl=rng_impl)
+
+
 class PlateauScheduler:
     """ReduceLROnPlateau semantics (factor 0.5, patience 5)."""
 
@@ -155,7 +168,8 @@ class Trainer:
         self.output_dir.mkdir(parents=True, exist_ok=True)
         tc = config.training
         self.rng = np.random.default_rng(tc.seed)
-        self.jax_rng = jax.random.PRNGKey(tc.seed)
+        self.jax_rng = make_dropout_key(tc.seed,
+                                getattr(tc, 'rng_impl', 'auto'))
 
         # data-derived hyperparams (reference: training/trainer.py:549-656)
         self.class_weights, self.huber_delta = self._compute_training_stats()
