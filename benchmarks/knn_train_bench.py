@@ -118,12 +118,15 @@ def main():
             updates, no = tx.update(grads, o, p)
             return optax.apply_updates(p, updates), nbs, no, tot
 
+        from bathymetric_gnn_tpu.training.trainer import make_dropout_key
+
+        base_key = make_dropout_key(7)  # production default (rbg on TPU)
+
         def scan_steps(p, bs, o, iters):
             def body(carry, i):
                 p, bs, o = carry
                 p, bs, o, tot = step(p, bs, o,
-                                     jax.random.fold_in(
-                                         jax.random.PRNGKey(7), i))
+                                     jax.random.fold_in(base_key, i))
                 return (p, bs, o), tot
 
             (p, bs, o), tots = jax.lax.scan(
