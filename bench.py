@@ -109,10 +109,13 @@ def _train_step_device_time(base, valid, num_edges):
         updates, no = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), nbs, no
 
+    from bathymetric_gnn_tpu.training.trainer import make_dropout_key
+
+    key = make_dropout_key(0)  # production default (rbg on TPU)
     p, bs = variables["params"], variables.get("batch_stats", {})
     o = tx.init(p)
     for i in range(2):  # compile + settle
-        p, bs, o = step(p, bs, o, jax.random.PRNGKey(i))
+        p, bs, o = step(p, bs, o, jax.random.fold_in(key, i))
     jax.block_until_ready(p)
 
     n_steps = 8
@@ -120,7 +123,7 @@ def _train_step_device_time(base, valid, num_edges):
     try:
         with jax.profiler.trace(trace_dir):
             for i in range(n_steps):
-                p, bs, o = step(p, bs, o, jax.random.PRNGKey(10 + i))
+                p, bs, o = step(p, bs, o, jax.random.fold_in(key, 10 + i))
             jax.block_until_ready(p)
 
         files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
