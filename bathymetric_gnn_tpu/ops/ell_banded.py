@@ -34,6 +34,7 @@ edge-count bucketing").
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -80,11 +81,25 @@ class BandedEll:
     spill_dst_local_b: jax.Array  # [T, 1, S_max] int32 row-in-band, -1 pad
     spill_eattr_b: jax.Array      # [T, S_max, Fe]
     # source-sorted view of the flat spill list: the spill gathers'
-    # backward becomes permute + SORTED segment_sum instead of an XLA
-    # scatter-add (profiled at ~1.2 ms/layer on the 65k train step)
-    spill_perm: jax.Array         # [T*S_max] int32 argsort of flat src
-    spill_src_sorted: jax.Array   # [T*S_max] int32 src in sorted order
+    # backward becomes permute + segment-reduce over contiguous ranges
+    # (XLA scatter-adds profiled at ~1.2 ms/layer on the 65k train step).
+    # Dead/pad slots carry key N (out of range), sorting to the tail —
+    # XLA segment_sum drops them; the Pallas reducer never matches them.
+    spill_perm: jax.Array         # [T*S_max] int32 argsort of sort key
+    spill_src_sorted: jax.Array   # [T*S_max] int32 key in sorted order
+    # per-128-node-block reduction ranges for the Pallas reducer
+    # (src-sorted for xh/a_src cotangents; dst-sorted for a_dst):
+    spill_red_first: jax.Array    # [N/128] int32 first 512-row ct block
+    spill_red_jcount: jax.Array   # [N/128] int32 number of ct blocks
+    spill_red_first_d: jax.Array  # [N/128] int32 (dst side)
+    spill_red_jcount_d: jax.Array
+    spill_perm_d: jax.Array       # [T*S_max] int32 argsort of dst key
+    spill_dst_sorted: jax.Array   # [T*S_max] int32 dst key sorted
     band_rows: int = dataclasses.field(metadata=dict(static=True))
+    spill_red_maxj: int = dataclasses.field(default=1,
+                                            metadata=dict(static=True))
+    spill_red_maxj_d: int = dataclasses.field(default=1,
+                                              metadata=dict(static=True))
 
     @property
     def num_bands(self) -> int:
@@ -170,6 +185,38 @@ def band_ell(g: EllGraph, band_rows: int = 128,
     spill_dst_local_b[band_of, 0, pos_in_band] = sd % r
     spill_eattr_b[band_of, pos_in_band] = eattr[sd, sk]
 
+    # source-sorted reduction metadata. Sort key maps dead/pad slots to n
+    # (out of range -> tail); contiguous per-node ranges let the backward
+    # run as permuted loads + block reduction instead of scatter-add.
+    dead = spill_dst_local_b[:, 0, :].reshape(-1) < 0
+
+    def red_tables(ids_raw):
+        node_blk, ct_blk = 128, 128
+        key = np.where(dead, n, ids_raw).astype(np.int64)
+        srt = np.sort(key).astype(np.int32)
+        row_start = np.searchsorted(srt, np.arange(0, n + 1, node_blk))
+        lo, hi = row_start[:-1], row_start[1:]
+        first = np.where(hi > lo, lo // ct_blk, 0).astype(np.int32)
+        last = np.where(hi > lo, (hi - 1) // ct_blk, -1)
+        jcount = np.maximum(last - first + 1, 0).astype(np.int32)
+        return key.astype(np.int32), srt, first, jcount, \
+            max(int(jcount.max()) if len(jcount) else 1, 1)
+
+    flat_src = spill_src_b.reshape(-1)
+    _, spill_key_sorted, red_first, red_jcount, maxj = \
+        red_tables(flat_src)
+    spill_perm = np.argsort(
+        np.where(dead, n, flat_src).astype(np.int64),
+        kind="stable").astype(np.int32)
+    # dst side (a_dst cotangents): band-major compaction keeps dst ids
+    # sorted WITHIN a band but each band's dead tail keys to n, so a
+    # dst-side permutation is needed too
+    _, dst_key_sorted, red_first_d, red_jcount_d, maxj_d = \
+        red_tables(spill_dst_b.reshape(-1))
+    spill_perm_d = np.argsort(
+        np.where(dead, n, spill_dst_b.reshape(-1)).astype(np.int64),
+        kind="stable").astype(np.int32)
+
     return BandedEll(
         loc_t=jnp.asarray(np.ascontiguousarray(loc.T)),
         spill_src=jnp.asarray(spill_src),
@@ -183,12 +230,17 @@ def band_ell(g: EllGraph, band_rows: int = 128,
         spill_dst_b=jnp.asarray(spill_dst_b),
         spill_dst_local_b=jnp.asarray(spill_dst_local_b),
         spill_eattr_b=jnp.asarray(spill_eattr_b),
-        spill_perm=jnp.asarray(
-            np.argsort(spill_src_b.reshape(-1),
-                       kind="stable").astype(np.int32)),
-        spill_src_sorted=jnp.asarray(
-            np.sort(spill_src_b.reshape(-1)).astype(np.int32)),
+        spill_perm=jnp.asarray(spill_perm),
+        spill_src_sorted=jnp.asarray(spill_key_sorted),
+        spill_red_first=jnp.asarray(red_first),
+        spill_red_jcount=jnp.asarray(red_jcount),
+        spill_red_first_d=jnp.asarray(red_first_d),
+        spill_red_jcount_d=jnp.asarray(red_jcount_d),
+        spill_perm_d=jnp.asarray(spill_perm_d),
+        spill_dst_sorted=jnp.asarray(dst_key_sorted),
         band_rows=r,
+        spill_red_maxj=maxj,
+        spill_red_maxj_d=maxj_d,
     )
 
 
@@ -383,3 +435,40 @@ def _grs_bwd(res, ct):
 
 
 gather_rows_sorted_bwd.defvjp(_grs_fwd, _grs_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def gather_rows_reduce_bwd(max_j, table, idx, perm, sorted_idx, first,
+                           jcount):
+    """jnp.take(table, idx, axis=0) whose backward runs the Pallas
+    sorted-segment reducer (ops/pallas/segment_reduce.py) — one-hot
+    matmuls over contiguous cotangent ranges instead of XLA scatter-add
+    (which segment_sum lowers to even for sorted ids; ~1.2 ms per
+    [65k, 256] cotangent on v5e). Requires T*S_max % CT_BLK == 0 and
+    N % 128 == 0 (both guaranteed by the bucketing)."""
+    return jnp.take(table, idx, axis=0)
+
+
+def _grr_fwd(max_j, table, idx, perm, sorted_idx, first, jcount):
+    probe = jnp.zeros((table.shape[0], 0), table.dtype)
+    return (jnp.take(table, idx, axis=0),
+            (probe, perm, sorted_idx, first, jcount))
+
+
+def _grr_bwd(max_j, res, ct):
+    from .pallas.segment_reduce import segment_reduce_sorted
+
+    probe, perm, sorted_idx, first, jcount = res
+    interpret = jax.default_backend() != "tpu"
+    ct_sorted = jnp.take(ct, perm, axis=0)
+    d_table = segment_reduce_sorted(
+        ct_sorted, sorted_idx, first, jcount,
+        n=probe.shape[0], max_j=max_j, interpret=interpret)
+    import numpy as _np
+
+    f0 = lambda a: _np.zeros(a.shape, jax.dtypes.float0)
+    return (d_table.astype(probe.dtype), f0(sorted_idx), f0(perm),
+            f0(sorted_idx), f0(first), f0(jcount))
+
+
+gather_rows_reduce_bwd.defvjp(_grr_fwd, _grr_bwd)

@@ -526,26 +526,31 @@ def ell_gat_fused_pallas(
     # costs a full [N, HC+H] HBM round trip + a slice-apart copy per
     # layer — profiled at ~400 us of the 2.6 ms layer; the split gathers
     # read only what they fetch)
-    from ..ell_banded import gather_rows_sorted_bwd
+    from ..ell_banded import gather_rows_reduce_bwd
 
     t_count, s_max = banded.spill_src_b.shape
     flat_src = banded.spill_src_b.reshape(-1)
     flat_dst = banded.spill_dst_b.reshape(-1)
     # gather in the compute dtype: S_max padding makes the spill table
     # ~2x the live spill rows, so halving its bytes matters (bf16 path).
-    # All three gathers route their BACKWARD through permute + sorted
-    # segment_sum (gather_rows_sorted_bwd) — XLA's scatter-add cost
-    # ~1.2 ms per [65k, 256] cotangent on v5e.
+    # All three gathers route their BACKWARD through the Pallas
+    # sorted-segment reducer (one-hot matmuls over contiguous permuted
+    # cotangent ranges) — XLA lowers even sorted segment_sum to
+    # scatter-add, ~1.2 ms per [65k, 256] cotangent on v5e.
     gather_src = (xh_flat.astype(jnp.bfloat16)
                   if compute_dtype == "bfloat16" else xh_flat)
-    xh_spill_b = gather_rows_sorted_bwd(
-        gather_src, flat_src, banded.spill_perm,
-        banded.spill_src_sorted).reshape(t_count, s_max, hc)
-    a_src_s = gather_rows_sorted_bwd(
-        a_src, flat_src, banded.spill_perm, banded.spill_src_sorted)
-    # dst ids are already sorted (band-major compaction): identity perm
-    iota = jnp.arange(flat_dst.shape[0], dtype=jnp.int32)
-    a_dst_s = gather_rows_sorted_bwd(a_dst, flat_dst, iota, flat_dst)
+    xh_spill_b = gather_rows_reduce_bwd(
+        banded.spill_red_maxj, gather_src, flat_src, banded.spill_perm,
+        banded.spill_src_sorted, banded.spill_red_first,
+        banded.spill_red_jcount).reshape(t_count, s_max, hc)
+    a_src_s = gather_rows_reduce_bwd(
+        banded.spill_red_maxj, a_src, flat_src, banded.spill_perm,
+        banded.spill_src_sorted, banded.spill_red_first,
+        banded.spill_red_jcount)
+    a_dst_s = gather_rows_reduce_bwd(
+        banded.spill_red_maxj_d, a_dst, flat_dst, banded.spill_perm_d,
+        banded.spill_dst_sorted, banded.spill_red_first_d,
+        banded.spill_red_jcount_d)
     el_sp = (banded.spill_eattr_b.reshape(-1, banded.spill_eattr_b.shape[-1])
              @ m_edge if m_edge is not None else 0.0)
     l_s = jax.nn.leaky_relu(a_src_s + a_dst_s + el_sp, negative_slope)
