@@ -191,7 +191,7 @@ def band_ell(g: EllGraph, band_rows: int = 128,
     dead = spill_dst_local_b[:, 0, :].reshape(-1) < 0
 
     def red_tables(ids_raw):
-        node_blk, ct_blk = 128, 128
+        node_blk, ct_blk = 1024, 256
         key = np.where(dead, n, ids_raw).astype(np.int64)
         srt = np.sort(key).astype(np.int32)
         row_start = np.searchsorted(srt, np.arange(0, n + 1, node_blk))

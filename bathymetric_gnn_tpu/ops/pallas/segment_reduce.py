@@ -28,8 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NODE_BLK = 128
-CT_BLK = 128
+NODE_BLK = 1024
+CT_BLK = 256
 
 
 def _reduce_kernel(first_ref, jcount_ref, ids_ref, ct_ref, out_ref, *,
