@@ -30,8 +30,11 @@ def downsample_depth(depth: np.ndarray, valid: np.ndarray, factor: int
     v = valid[:th, :tw]
     d4 = d.reshape(th // factor, factor, tw // factor, factor)
     v4 = v.reshape(th // factor, factor, tw // factor, factor)
-    with np.errstate(invalid="ignore"):
-        pooled = np.nanmean(d4, axis=(1, 3))
+    # nansum/count instead of nanmean: all-NaN pools are common at swath
+    # gaps and nanmean warns "Mean of empty slice" on every one of them
+    cnt = np.count_nonzero(~np.isnan(d4), axis=(1, 3))
+    pooled = np.nansum(d4, axis=(1, 3)) / np.maximum(cnt, 1)
+    pooled = np.where(cnt > 0, pooled, np.nan)
     frac = v4.mean(axis=(1, 3))
     pooled_valid = frac >= 0.5
     pooled = np.where(pooled_valid, np.nan_to_num(pooled), np.nan)

@@ -388,7 +388,9 @@ class NativeVRProcessor:
             n_pad = 1 << (n_total - 1).bit_length()
         else:
             n_pad = round_up_to_bucket(n_total, self.node_buckets)
-        max_deg = self.knn_k or (self.config.graph.connectivity + 1)
+        max_deg = self.knn_k or (
+            self.config.graph.connectivity
+            + (1 if self.config.graph.include_self_loops else 0))
         e_pad = n_pad * max_deg
         graph, counts = batch_graphs(
             [(p["x"], p["edge_index"], p["edge_attr"]) for p in entries],

@@ -87,11 +87,12 @@ class BandedEll:
     # XLA segment_sum drops them; the Pallas reducer never matches them.
     spill_perm: jax.Array         # [T*S_max] int32 argsort of sort key
     spill_src_sorted: jax.Array   # [T*S_max] int32 key in sorted order
-    # per-128-node-block reduction ranges for the Pallas reducer
+    # per-node-block reduction ranges for the Pallas reducer, block size
+    # pick_node_blk(N) = largest pow2 <= 1024 dividing N
     # (src-sorted for xh/a_src cotangents; dst-sorted for a_dst):
-    spill_red_first: jax.Array    # [N/128] int32 first 512-row ct block
-    spill_red_jcount: jax.Array   # [N/128] int32 number of ct blocks
-    spill_red_first_d: jax.Array  # [N/128] int32 (dst side)
+    spill_red_first: jax.Array    # [N/blk] int32 first CT_BLK-row ct block
+    spill_red_jcount: jax.Array   # [N/blk] int32 number of ct blocks
+    spill_red_first_d: jax.Array  # [N/blk] int32 (dst side)
     spill_red_jcount_d: jax.Array
     spill_perm_d: jax.Array       # [T*S_max] int32 argsort of dst key
     spill_dst_sorted: jax.Array   # [T*S_max] int32 dst key sorted
@@ -112,13 +113,20 @@ class BandedEll:
 
 def band_ell(g: EllGraph, band_rows: int = 128,
              spill_pad: int = 512,
-             s_max: Optional[int] = None) -> BandedEll:
+             s_max: Optional[int] = None,
+             max_j: Optional[int] = None,
+             max_j_d: Optional[int] = None) -> BandedEll:
     """Host-side band/spill split of an EllGraph (Morton-ordered nodes).
 
     N must be a multiple of ``band_rows`` (EllGraphs are bucket-padded to
     powers of two, so R in {128, 256, 512} always divides N).
-    ``s_max`` forces the per-band spill-table width (data-parallel
-    shards must stack identically-shaped BandedEll pytrees).
+    ``s_max`` forces the per-band spill-table width and ``max_j`` /
+    ``max_j_d`` force the reducer grid depths (src / dst side) — all
+    three are data-derived statics, so data-parallel shards that must
+    stack into one pytree (stack_banded_batches) have to share them.
+    Forcing s_max alone usually suffices: stack_banded_batches also
+    normalizes max_j across shards after the fact (raising a shard's
+    max_j only adds jcount-gated no-op grid steps).
     """
     src = np.asarray(g.nbr_src)          # [N, K]
     mask = np.asarray(g.nbr_mask)
@@ -191,7 +199,9 @@ def band_ell(g: EllGraph, band_rows: int = 128,
     dead = spill_dst_local_b[:, 0, :].reshape(-1) < 0
 
     def red_tables(ids_raw):
-        node_blk, ct_blk = 1024, 256
+        from .pallas.segment_reduce import CT_BLK, pick_node_blk
+
+        node_blk, ct_blk = pick_node_blk(n), CT_BLK
         key = np.where(dead, n, ids_raw).astype(np.int64)
         srt = np.sort(key).astype(np.int32)
         row_start = np.searchsorted(srt, np.arange(0, n + 1, node_blk))
@@ -205,6 +215,10 @@ def band_ell(g: EllGraph, band_rows: int = 128,
     flat_src = spill_src_b.reshape(-1)
     _, spill_key_sorted, red_first, red_jcount, maxj = \
         red_tables(flat_src)
+    if max_j is not None:
+        if max_j < maxj:
+            raise ValueError(f"forced max_j={max_j} < required {maxj}")
+        maxj = max_j
     spill_perm = np.argsort(
         np.where(dead, n, flat_src).astype(np.int64),
         kind="stable").astype(np.int32)
@@ -213,6 +227,10 @@ def band_ell(g: EllGraph, band_rows: int = 128,
     # dst-side permutation is needed too
     _, dst_key_sorted, red_first_d, red_jcount_d, maxj_d = \
         red_tables(spill_dst_b.reshape(-1))
+    if max_j_d is not None:
+        if max_j_d < maxj_d:
+            raise ValueError(f"forced max_j_d={max_j_d} < required {maxj_d}")
+        maxj_d = max_j_d
     spill_perm_d = np.argsort(
         np.where(dead, n, spill_dst_b.reshape(-1)).astype(np.int64),
         kind="stable").astype(np.int32)
@@ -444,8 +462,10 @@ def gather_rows_reduce_bwd(max_j, table, idx, perm, sorted_idx, first,
     sorted-segment reducer (ops/pallas/segment_reduce.py) — one-hot
     matmuls over contiguous cotangent ranges instead of XLA scatter-add
     (which segment_sum lowers to even for sorted ids; ~1.2 ms per
-    [65k, 256] cotangent on v5e). Requires T*S_max % CT_BLK == 0 and
-    N % 128 == 0 (both guaranteed by the bucketing)."""
+    [65k, 256] cotangent on v5e). The reducer pads a ragged T*S_max tail
+    to CT_BLK itself and derives its node block as pick_node_blk(N) (the
+    largest power of two <= 1024 dividing N) — first/jcount must come
+    from band_ell so both sides agree on that rule."""
     return jnp.take(table, idx, axis=0)
 
 

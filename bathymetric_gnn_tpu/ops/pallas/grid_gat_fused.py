@@ -470,6 +470,7 @@ def _bwd_kernel(
     negative_slope: float,
     has_dropout: bool,
     upcast_dots: bool = False,
+    lowp: bool = False,
 ):
     """Backward of the fused layer for one row block.
 
@@ -477,6 +478,16 @@ def _bwd_kernel(
     [-1, R+1) (one halo row each side — those rows' weights gate
     cross-block cotangent flow into this block's rows), then emits the
     complete dx for the center rows plus per-block partial weight grads.
+
+    ``lowp`` (compute_dtype=bfloat16 training): streams arrive bf16 and
+    ALL matmuls run with bf16 inputs + f32 accumulation — the backward
+    has ~3x the forward's large-matmul FLOPs (xh recompute, dx, dW
+    epilogues), and f32 MXU passes cost ~4x bf16, so this is the round-4
+    train-step lever (softmax math and the wide aggregation chains stay
+    f32 — the round-1 negative result showed bf16 *elementwise* operands
+    are ALU-bound and slightly slower). ``upcast_dots`` emulates the MXU
+    bf16-in/f32-acc semantics on CPU interpret mode by rounding operands
+    to bf16 and upcasting.
     """
     if has_dropout:
         (dmask, dm_top, dm_bot, dx_ref, dw_ref, dwa_ref, dme_ref,
@@ -645,19 +656,30 @@ def _bwd_kernel(
         dxh = dxh + pltpu.roll(u_k[1 - dr:1 - dr + R], dc % W, 1)
 
     # ---- matmul epilogue: dx and per-block weight-grad partials ----
-    dxh2 = dxh.reshape(R * W, HC)
+    # In lowp mode the f32 cotangent intermediates are rounded to bf16
+    # at the dot inputs (f32 accumulation): the three [RW, 256]-scale
+    # contractions here plus the xh/ad recompute are the kernel's MXU
+    # bill, and bf16 inputs run them in one MXU pass instead of ~4.
+    if lowp and not upcast_dots:
+        cast = lambda t: t.astype(jnp.bfloat16)
+    elif lowp:  # interpret emulation: round like the MXU would
+        cast = lambda t: t.astype(jnp.bfloat16).astype(jnp.float32)
+    else:
+        cast = lambda t: t
+    dxh2 = cast(dxh.reshape(R * W, HC))
+    d_ad_c = cast(d_ad_st)
     dx = jax.lax.dot_general(dxh2, w_mat, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dx = dx + jax.lax.dot_general(d_ad_st, wa_mat, (((0,), (1,)), ((), ())),
+    dx = dx + jax.lax.dot_general(d_ad_c, wa_mat, (((0,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-    dx_ref[:] = dx.reshape(R, W, -1)
+    dx_ref[:] = dx.reshape(R, W, -1).astype(dx_ref.dtype)
 
     xe_c2 = xe2.reshape(R + 4, W, -1)[2:R + 2].reshape(R * W, -1)
     if upcast_dots:
         xe_c2 = xe_c2.astype(jnp.float32)
     dw_ref[0] = jax.lax.dot_general(xe_c2, dxh2, (((0,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-    dwa_ref[0] = jax.lax.dot_general(xe_c2, d_ad_st,
+    dwa_ref[0] = jax.lax.dot_general(xe_c2, d_ad_c,
                                      (((0,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
     dme_ref[0] = dme_acc
@@ -667,10 +689,17 @@ def _bwd_kernel(
 
 def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
                     valid, bias, dmask, g, connectivity, negative_slope,
-                    use_edge, block_rows, interpret):
+                    use_edge, block_rows, interpret,
+                    compute_dtype=jnp.float32):
     """Pallas backward: returns (dx, dw_lin, da_src_mat, da_dst_mat,
     dm_edge, dbias). Caller guarantees the shape tiles (same rule as the
-    forward kernel)."""
+    forward kernel).
+
+    ``compute_dtype=bfloat16``: streams (x, g, el, edge attrs, dropout
+    masks) and matmul inputs run bf16 with f32 accumulation — see
+    _bwd_kernel's ``lowp``. Softmax recompute and the wide aggregation
+    chains stay f32, and the per-block weight-grad partials are emitted
+    and cross-block-reduced in f32."""
     offsets = _offsets(connectivity)
     hgt, wid, f_in = x.shape
     heads = a_src_mat.shape[1]
@@ -681,8 +710,10 @@ def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
     r, _ = _resolve_block_rows(hgt, block_rows)
     nb = hgt // r
 
-    x32 = x.astype(jnp.float32)
-    g32 = g.astype(jnp.float32)
+    lowp = compute_dtype != jnp.float32
+    cd = compute_dtype
+    x32 = x.astype(cd)
+    g32 = g.astype(cd)
     valid_f = valid.astype(jnp.float32)
 
     # el precompute — identical to the forward
@@ -699,7 +730,7 @@ def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
     ma_t = jnp.einsum("hwf->fhw", mean_attr)
 
     xr = x32.reshape(nb, r, wid, f_in)
-    z1 = jnp.zeros((1, wid, f_in), jnp.float32)
+    z1 = jnp.zeros((1, wid, f_in), cd)
     # 2-row x halos: rows (iR-2, iR-1) and (iR+R, iR+R+1)
     t0 = jnp.concatenate([z1, x32[r - 2::r][:nb - 1]], 0)
     t1 = jnp.concatenate([z1, x32[r - 1::r][:nb - 1]], 0)
@@ -708,7 +739,7 @@ def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
     b1 = jnp.concatenate([x32[r + 1::r][:nb - 1], z1], 0)
     x_bot = jnp.stack([b0, b1], axis=1)
 
-    zg = jnp.zeros((1, 1, wid, hc), jnp.float32)
+    zg = jnp.zeros((1, 1, wid, hc), cd)
     gr = g32.reshape(nb, r, wid, hc)
     g_top = jnp.concatenate([zg, g32[r - 1::r][:nb - 1][:, None]], 0)
     g_bot = jnp.concatenate([g32[r::r][:, None], zg], 0)
@@ -734,8 +765,8 @@ def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
     has_dropout = dmask is not None
     dm_args, dm_specs = [], []
     if has_dropout:
-        dm32 = dmask.astype(jnp.float32)
-        onerow = jnp.ones((1, k + 1, heads, wid), jnp.float32)
+        dm32 = dmask.astype(cd)
+        onerow = jnp.ones((1, k + 1, heads, wid), cd)
         dm_top = jnp.concatenate(
             [onerow,
              jnp.moveaxis(dm32[:, :, r - 1::r, :][:, :, :nb - 1], 2, 0)], 0)
@@ -756,7 +787,7 @@ def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
     kern = functools.partial(
         _bwd_kernel, offsets=offsets, R=r, W=wid, heads=heads, C=c, ED=ed,
         negative_slope=negative_slope, has_dropout=has_dropout,
-        upcast_dots=False,
+        upcast_dots=bool(interpret) and lowp, lowp=lowp,
     )
     dx, dw_p, dwa_p, dme_p, db_p = pl.pallas_call(
         kern,
@@ -813,7 +844,7 @@ def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((hgt, wid, f_in), jnp.float32),
+            jax.ShapeDtypeStruct((hgt, wid, f_in), cd),
             jax.ShapeDtypeStruct((nb, f_in, hc), jnp.float32),
             jax.ShapeDtypeStruct((nb, f_in, 2 * heads), jnp.float32),
             jax.ShapeDtypeStruct((nb, ed, heads), jnp.float32),
@@ -823,9 +854,11 @@ def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xr, x_top, x_bot, gr, g_top, g_bot, w_lin.astype(jnp.float32),
-      wa_cat.astype(jnp.float32), el, el_top, el_bot, el_self, els_top,
-      els_bot, valid_f, v_top, v_bot, ea_t, ma_t, *dm_args)
+    )(xr, x_top, x_bot, gr, g_top, g_bot, w_lin.astype(cd),
+      wa_cat.astype(cd), el.astype(cd), el_top.astype(cd),
+      el_bot.astype(cd), el_self.astype(cd), els_top.astype(cd),
+      els_bot.astype(cd), valid_f, v_top, v_bot, ea_t.astype(cd),
+      ma_t.astype(cd), *dm_args)
 
     dw = jnp.sum(dw_p, 0)
     dwa = jnp.sum(dwa_p, 0)

@@ -173,9 +173,19 @@ def stack_banded_batches(pairs):
     """[(EllGraph, BandedEll)] per shard -> leading-dim-stacked pytrees.
 
     Shards must be built with identical bucket/s_max/spill_pad shapes
-    (band_ell(s_max=...) + shared node buckets). Used by the sparse dp
-    step: each device owns one merged k-NN sub-batch."""
+    (band_ell(s_max=...) + shared node buckets). The data-derived static
+    reducer depths (spill_red_maxj / _d) are normalized to the max across
+    shards here — extra grid steps are jcount-gated no-ops, and without
+    this uneven spill densities would make the pytrees un-stackable
+    (mismatched static aux data). Used by the sparse dp step: each
+    device owns one merged k-NN sub-batch."""
+    import dataclasses
+
     gs, bs = zip(*pairs)
+    mj = max(b.spill_red_maxj for b in bs)
+    mjd = max(b.spill_red_maxj_d for b in bs)
+    bs = [dataclasses.replace(b, spill_red_maxj=mj, spill_red_maxj_d=mjd)
+          for b in bs]
     g = jax.tree.map(lambda *xs: jnp.stack(xs), *gs)
     banded = jax.tree.map(lambda *xs: jnp.stack(xs), *bs)
     return g, banded

@@ -121,19 +121,29 @@ def make_host_mesh(
     return Mesh(arr, axis_names)
 
 
-def host_local_batch_to_global(tree, mesh: Mesh):
+def host_local_batch_to_global(tree, mesh: Mesh, spec_fn=None):
     """Assemble a global [B_global, ...] batch from each process's local
     [B_local, ...] arrays (per-host input pipelines — each host loads its
     own tiles; nothing is gathered through host 0).
 
-    Single-process this reduces to shard_batch_pytree."""
+    ``spec_fn(x) -> PartitionSpec`` overrides the default data-only
+    sharding — e.g. the dp x sp halo batch uses P("data", "graph", None)
+    on [B, rows, W] tiles: only the leading (data) dim may cross
+    processes; within-process axes like ``graph`` are carved out of each
+    host's full local arrays by make_array_from_process_local_data.
+
+    Single-process this reduces to a device_put with the same spec."""
+    if spec_fn is None:
+        def spec_fn(x):
+            return P("data", *([None] * (x.ndim - 1)))
     if jax.process_count() == 1:
-        return shard_batch_pytree(tree, mesh)
+        return jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, spec_fn(x))),
+            tree)
 
     def put(x):
-        spec = P("data", *([None] * (x.ndim - 1)))
         global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
         return jax.make_array_from_process_local_data(
-            NamedSharding(mesh, spec), np.asarray(x), global_shape)
+            NamedSharding(mesh, spec_fn(x)), np.asarray(x), global_shape)
 
     return jax.tree.map(put, tree)

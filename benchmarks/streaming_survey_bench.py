@@ -46,6 +46,33 @@ def synthesize_survey_streaming(path, n, chunk=1024, seed=0):
     w.close()
 
 
+def measure_tunnel_retention(iters=24, mb=8):
+    """Per-run calibration of the axon tunnel's host-RSS retention per
+    uploaded byte (RESULTS.md round-3 forensics measured ~0.9 B/B and
+    that .delete()/gc/clear_caches don't release it). Uploading a known
+    volume and reading the RSS delta validates the coefficient for THIS
+    run instead of crediting a fixed estimate — if the client stops
+    retaining, the credit drops to ~0 and the raw gate applies."""
+    import gc
+
+    import jax
+    import numpy as np
+
+    dev = jax.devices()[0]
+    chunk = np.empty(mb << 20, np.uint8)
+    # distinct contents defeat any dedup/caching in the client
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    for i in range(iters):
+        chunk[:8] = np.frombuffer(np.int64(i).tobytes(), np.uint8)
+        a = jax.device_put(chunk, dev)
+        a.block_until_ready()
+        a.delete()
+    gc.collect()
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    coeff = (rss1 - rss0) * 1024 / (iters * (mb << 20))
+    return min(max(coeff, 0.0), 1.2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=16384)
@@ -109,7 +136,25 @@ def main():
     version = getattr(jax.devices()[0].client, "platform_version", "")
     on_tunnel = "axon" in version
     upload_gb = tiles * args.tile * args.tile * 5 / 1e9  # f32 depth + valid
-    pipeline_rss_gb = peak_rss_gb - (upload_gb if on_tunnel else 0.0)
+    # validate the retention coefficient for THIS run (advisor r3): only
+    # the measured fraction of the upload volume is credited to the
+    # tunnel, so a real pipeline-RSS regression can't hide behind a
+    # fixed estimate. Calibrating AFTER the run is conservative: ru_maxrss
+    # is monotone and retained bytes are never released, so calibration
+    # uploads grow maxrss only by NEW retention (if current RSS sits a
+    # little under the peak, the first uploads don't register and the
+    # coefficient — hence the credit — only shrinks).
+    if on_tunnel:
+        try:
+            retention_coeff = measure_tunnel_retention()
+        except Exception as e:   # never lose an 85-min run's result here
+            print(f"# retention calibration failed ({e}); crediting the "
+                  f"full upload volume (pre-r4 behavior)", file=sys.stderr)
+            retention_coeff = 1.0
+    else:
+        retention_coeff = 0.0
+    credited_gb = retention_coeff * upload_gb if on_tunnel else 0.0
+    pipeline_rss_gb = peak_rss_gb - credited_gb
     result = {
         "metric": "streaming_survey_inference",
         "size": n, "tile": args.tile,
@@ -119,8 +164,8 @@ def main():
         "mcells_per_s": round(cells / dt / 1e6, 3),
         "peak_rss_gb": round(peak_rss_gb, 3),
         "rss_at_start_gb": round(rss0 / 1e6, 3),
-        "tunnel_retained_upload_gb_est": round(upload_gb, 2) if on_tunnel
-        else 0.0,
+        "tunnel_retention_coeff_measured": round(retention_coeff, 3),
+        "tunnel_retained_upload_gb_est": round(credited_gb, 2),
         "pipeline_rss_gb": round(pipeline_rss_gb, 3),
         "out_gb": round(dst.stat().st_size / 1e9, 2),
     }

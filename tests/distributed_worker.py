@@ -102,8 +102,90 @@ def run_step_on_mesh(mesh, cfg, ds, graph, targets, local_slice=None):
     return new_state.params, losses, acc
 
 
+def build_halo_batch(data_ax=4, h=32, w=32):
+    """Deterministic dp x sp tile batch (identical in every process)."""
+    import numpy as np
+
+    from conftest import make_ramp_surface
+
+    from bathymetric_gnn_tpu.config.config import Config, ModelConfig, \
+        TrainingConfig
+
+    cfg = Config(
+        model=ModelConfig(hidden_channels=16, num_layers=2, heads=2,
+                          dropout=0.0),
+        training=TrainingConfig(batch_size=data_ax, seed=0),
+    )
+    depth = make_ramp_surface(h, w, seed=0)
+    valid = np.isfinite(depth).copy()
+    valid[2:11, 4:28] = False   # uneven valid rows across graph shards
+    rg = np.random.default_rng(1)
+    labels = (rg.random((data_ax, h, w)) < 0.2).astype(np.int32) * 2
+    batch = {
+        "noisy": np.stack([np.nan_to_num(depth).astype(np.float32)]
+                          * data_ax),
+        "valid": np.stack([valid] * data_ax),
+        "labels": labels,
+        "raw_correction": (rg.normal(0, 0.3, (data_ax, h, w))
+                           .astype(np.float32) * (labels == 2)),
+    }
+    return cfg, batch, valid
+
+
+def run_halo_step_on_mesh(mesh, cfg, batch, local_slice=None):
+    """One dp x sp halo train step; returns (params, losses, acc).
+
+    The batch is sharded P(data, graph, None): tiles over ``data``
+    (ACROSS processes in the 2-process test), each tile's rows over
+    ``graph`` (always within one process — asserted by the caller)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from jax.sharding import PartitionSpec as P
+
+    from bathymetric_gnn_tpu.parallel.halo import (HaloGridGNN,
+                                                   make_halo_train_step)
+    from bathymetric_gnn_tpu.parallel.mesh import host_local_batch_to_global
+    from bathymetric_gnn_tpu.training.trainer import TrainState
+
+    mc = cfg.model
+    kw = dict(hidden_channels=mc.hidden_channels, num_layers=mc.num_layers,
+              heads=mc.heads, dropout=0.0)
+
+    from bathymetric_gnn_tpu.data.graph_build import build_grid_inputs
+    from bathymetric_gnn_tpu.models.grid_gat import GridBathymetricGNN
+
+    noisy0 = np.asarray(batch["noisy"][0])
+    valid0 = np.asarray(batch["valid"][0])
+    feats, v, nbr, eattr, _ = build_grid_inputs(noisy0, valid0)
+    variables = GridBathymetricGNN(**kw).init(
+        jax.random.PRNGKey(0), feats, v, nbr, eattr)
+
+    halo = HaloGridGNN(**kw)
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.inject_hyperparams(optax.sgd)(learning_rate=1e-3),
+    )
+    hstep = make_halo_train_step(halo, optimizer, cfg.training,
+                                 jnp.ones(3), 1.0, mesh)
+    state = TrainState(variables["params"], variables["batch_stats"],
+                       optimizer.init(variables["params"]), jnp.int32(0))
+    spec_fn = lambda x: P("data", "graph", *([None] * (x.ndim - 2)))
+    if local_slice is not None:
+        local = {k: np.asarray(a)[local_slice] for k, a in batch.items()}
+    else:
+        local = {k: np.asarray(a) for k, a in batch.items()}
+    batch_g = host_local_batch_to_global(local, mesh, spec_fn=spec_fn)
+    new_state, losses, acc = hstep(state, batch_g, jax.random.PRNGKey(0),
+                                   jnp.float32(1e-3))
+    return new_state.params, losses, acc
+
+
 def main():
     pid, port, out_path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "dp"
 
     import jax
 
@@ -133,13 +215,29 @@ def main():
         owners = {d.process_index for d in row}
         assert len(owners) == 1, f"graph group spans hosts: {owners}"
 
-    # one dp train step over the global (data=8, graph=1) mesh, each
-    # process contributing its local half of the batch
-    cfg, ds, graph, targets = build_global_batch()
-    mesh = make_host_mesh(graph_axis=1)
-    local = slice(pid * 4, (pid + 1) * 4)
-    params, losses, acc = run_step_on_mesh(mesh, cfg, ds, graph, targets,
-                                           local_slice=local)
+    if mode == "halo":
+        # dp x sp: data axis ACROSS the 2 processes (Gloo pmean), graph
+        # (halo ppermute) axis within each — the first cross-process
+        # exercise of the halo path's mesh assumptions (VERDICT r3 #6)
+        mesh_h = make_host_mesh(graph_axis=2)
+        assert mesh_h.devices.shape == (4, 2)
+        for row in mesh_h.devices:
+            owners = {d.process_index for d in row}
+            assert len(owners) == 1, f"halo group spans hosts: {owners}"
+        # and the data axis really does cross processes
+        col_owners = {d.process_index for d in mesh_h.devices[:, 0]}
+        assert len(col_owners) == NUM_PROCESSES, col_owners
+        cfg, batch, _ = build_halo_batch(data_ax=4)
+        params, losses, acc = run_halo_step_on_mesh(
+            mesh_h, cfg, batch, local_slice=slice(pid * 2, (pid + 1) * 2))
+    else:
+        # one dp train step over the global (data=8, graph=1) mesh, each
+        # process contributing its local half of the batch
+        cfg, ds, graph, targets = build_global_batch()
+        mesh = make_host_mesh(graph_axis=1)
+        local = slice(pid * 4, (pid + 1) * 4)
+        params, losses, acc = run_step_on_mesh(mesh, cfg, ds, graph,
+                                               targets, local_slice=local)
 
     # replicated outputs are addressable on every process
     flat, _ = jax.tree_util.tree_flatten_with_path(params)

@@ -75,3 +75,55 @@ def test_two_process_dp_step_matches_single_process(tmp_path):
     np.testing.assert_allclose(float(dist["__loss_total"]),
                                float(losses["total"]), rtol=1e-5)
     np.testing.assert_allclose(float(dist["__acc"]), float(acc), rtol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs the 8-virtual-device CPU harness")
+def test_two_process_dp_sp_halo_step_matches_single_process(tmp_path):
+    """dp x sp across a REAL process boundary (VERDICT r3 item 6): the
+    data axis pmeans over Gloo between the 2 processes while each tile's
+    halo ppermutes stay within one process (asserted in the worker).
+    Params after one step must match the identical dp x sp step run
+    single-process on the same 8 virtual devices."""
+    port = _free_port()
+    out = tmp_path / "worker0_halo.npz"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), str(pid), str(port), str(out),
+             "halo"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"halo worker failed:\n{log[-4000:]}"
+    assert out.exists(), logs[0][-2000:]
+    dist = np.load(out)
+
+    import distributed_worker as dw
+    from bathymetric_gnn_tpu.parallel.mesh import make_host_mesh
+
+    cfg, batch, _ = dw.build_halo_batch(data_ax=4)
+    mesh = make_host_mesh(graph_axis=2)
+    params, losses, acc = dw.run_halo_step_on_mesh(mesh, cfg, batch)
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    checked = 0
+    for path, leaf in flat:
+        name = "/".join(str(k) for k in path)
+        np.testing.assert_allclose(dist[name], np.asarray(leaf),
+                                   rtol=2e-5, atol=1e-6, err_msg=name)
+        checked += 1
+    assert checked > 10
+    np.testing.assert_allclose(float(dist["__loss_total"]),
+                               float(losses["total"]), rtol=1e-5)
+    np.testing.assert_allclose(float(dist["__acc"]), float(acc), rtol=1e-6)

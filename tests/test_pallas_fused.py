@@ -353,3 +353,57 @@ class TestBf16Training:
             # the whole leaf, not single bf16-rounded elements
             rel = np.linalg.norm(a - b) / norms[path]
             assert rel < 0.3, (name, rel)
+
+
+class TestFusedBackwardBf16:
+    """Round-4: bf16 matmul inputs in the backward kernel
+    (compute_dtype=bfloat16 training). Interpret mode emulates the MXU's
+    bf16-in/f32-accumulate dots by rounding operands; parity vs the f32
+    XLA reference is bounded by bf16 operand rounding, so tolerances are
+    looser than the f32 gates above."""
+
+    def _grads(self, dmask=None, h=32):
+        layer, params, x, valid, nbr, eattr = setup(h=h)
+        w_lin, a_src, a_dst, m_edge, bias = gat_param_matrices(
+            params, 4, 16, 3)
+        eattr_j = jnp.asarray(eattr)
+        nbr_j = jnp.asarray(nbr, jnp.float32)
+        valid_j = jnp.asarray(valid, jnp.float32)
+
+        def loss_fused(x_, w_, as_, ad_, me_, b_):
+            o = fused_grid_gat(x_, w_, as_, ad_, me_, eattr_j, nbr_j,
+                               valid_j, b_, dmask, 8, 0.2, True, 8, True,
+                               jnp.bfloat16)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        def loss_ref(x_, w_, as_, ad_, me_, b_):
+            o = _reference_forward(x_, w_, as_, ad_, me_, eattr_j,
+                                   nbr_j, valid_j, b_,
+                                   offsets=offsets_for_connectivity(8),
+                                   negative_slope=0.2, use_edge=True,
+                                   dmask=dmask)
+            return jnp.sum(o ** 2)
+
+        argv = (jnp.asarray(x), w_lin, a_src, a_dst, m_edge, bias)
+        g_f = jax.grad(loss_fused, argnums=tuple(range(6)))(*argv)
+        g_r = jax.grad(loss_ref, argnums=tuple(range(6)))(*argv)
+        return g_f, g_r
+
+    def _check(self, g_f, g_r):
+        for name, a, b in zip(
+                ("x", "w_lin", "a_src", "a_dst", "m_edge", "bias"),
+                g_f, g_r):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            scale = max(np.abs(b).max(), 1e-3)
+            np.testing.assert_allclose(a / scale, b / scale,
+                                       rtol=0, atol=3e-2, err_msg=name)
+
+    def test_bf16_bwd_grads_close(self):
+        self._check(*self._grads())
+
+    def test_bf16_bwd_grads_with_dropout(self):
+        rng = jax.random.PRNGKey(7)
+        keep = jax.random.bernoulli(rng, 0.9, (9, 4, 32, 128))
+        dmask = keep.astype(jnp.float32) / 0.9
+        self._check(*self._grads(dmask=dmask))
