@@ -19,6 +19,10 @@ def parse_args(argv=None):
     p.add_argument("--vr-bag-mode", default="resampled",
                    choices=["refinements", "resampled", "base"])
     p.add_argument("--keep-systematic-offset", action="store_true")
+    p.add_argument("--s57", help="S-57 .000 cell or features GeoJSON "
+                                 "(from extract-s57-features): overlay "
+                                 "wreck/rock/obstruction points as "
+                                 "class-1 labels")
     p.add_argument("--verbose", action="store_true")
     return p.parse_args(argv)
 
@@ -31,6 +35,7 @@ def main(argv=None):
         noise_threshold=args.noise_threshold,
         vr_bag_mode=args.vr_bag_mode,
         remove_systematic_offset=not args.keep_systematic_offset,
+        s57_path=args.s57,
     )
     print(json.dumps(stats, indent=2))
 

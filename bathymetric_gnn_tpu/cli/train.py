@@ -49,6 +49,10 @@ def parse_args(argv=None):
     p.add_argument("--num-layers", type=int)
     p.add_argument("--heads", type=int)
     p.add_argument("--seed", type=int)
+    p.add_argument("--num-workers", type=int,
+                   help="host input-pipeline worker processes (0 = load "
+                        "in-process); workers run noise synthesis + "
+                        "raster IO, the graph build stays on device")
     p.add_argument("--knn-k", type=int,
                    help=">0: train on k-NN graphs over valid cells "
                         "(banded-ELL fused kernels on TPU) instead of "
@@ -62,6 +66,11 @@ def parse_args(argv=None):
                         "tile data)")
     p.add_argument("--resume", action="store_true",
                    help="resume from output-dir/last")
+    p.add_argument("--synthetic-features", action="store_true",
+                   help="inject class-1 seafloor features (wreck/rock "
+                        "shoals) into the synthetic training surfaces so "
+                        "the feature class gets a training signal (the "
+                        "reference's unshipped Phase 3)")
     p.add_argument("--verbose", action="store_true")
     return p.parse_args(argv)
 
@@ -76,6 +85,7 @@ def main(argv=None):
         ("training", "batch_size", args.batch_size),
         ("training", "learning_rate", args.learning_rate),
         ("training", "seed", args.seed),
+        ("training", "num_workers", args.num_workers),
         ("model", "gnn_type", args.gnn_type),
         ("model", "hidden_channels", args.hidden_channels),
         ("model", "num_layers", args.num_layers),
@@ -85,6 +95,8 @@ def main(argv=None):
     ]:
         if val is not None:
             setattr(getattr(cfg, sec), key, val)
+    if args.synthetic_features:
+        cfg.synthetic_noise.feature_enabled = True
     cfg.validate()
 
     if args.trainer == "grid":

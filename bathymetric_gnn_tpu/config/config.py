@@ -103,7 +103,12 @@ class TrainingConfig:
     confidence_weight: float = 0.2
     feature_preservation_weight: float = 0.3
     shoal_safety_weight: float = 0.5
-    num_workers: int = 4
+    # host input-pipeline worker PROCESSES (torch semantics: 0 = load in
+    # the main process). Workers run only the numpy/IO half of sample
+    # production (utils/mp_loader); the reference's DataLoader used 4
+    # (reference: training/trainer.py:489) — on this 2-core dev host 1-2
+    # is the sweet spot, so the default stays conservative.
+    num_workers: int = 0
     seed: int = 0
     # dropout-key PRNG implementation: "auto" uses the TPU-native rbg
     # generator on TPU (threefry mask generation measured 3.5 ms/step on
@@ -127,6 +132,17 @@ class SyntheticNoiseConfig:
     systematic_enabled: bool = True
     systematic_amplitude_range: Tuple[float, float] = (0.1, 0.5)
     complexity_correlation: float = 0.3
+    # Synthetic seafloor FEATURES (class 1: wrecks / rocks — real objects
+    # that must be preserved, not corrected). The reference never shipped
+    # this (its generator emits only classes 0/2 and its S-57 Phase 3 was
+    # unwired — reference docs/TRAINING_PLAN.md:894); disabled by default
+    # for parity, enabled by the 3-class quality gate and `train
+    # --synthetic-features`.
+    feature_enabled: bool = False
+    feature_count_range: Tuple[int, int] = (1, 4)
+    feature_height_range: Tuple[float, float] = (0.5, 4.0)  # m shoaler
+    feature_size_range: Tuple[int, int] = (3, 12)           # radius px
+    feature_wreck_fraction: float = 0.4   # elongated (wreck-like) share
 
 
 @dataclass

@@ -67,8 +67,16 @@ def compute_ground_truth(
     noise_threshold: float = 0.15,
     vr_bag_mode: str = "resampled",
     remove_systematic_offset: bool = True,
+    s57_path=None,
 ) -> Dict:
-    """Clean/noisy pair -> labeled 5-band GT raster (reference: :99-287)."""
+    """Clean/noisy pair -> labeled 5-band GT raster (reference: :99-287).
+
+    ``s57_path`` (round 4 — the reference's unshipped Phase 3,
+    reference docs/TRAINING_PLAN.md:894): an S-57 .000 cell or a
+    features GeoJSON (from ``extract-s57-features``) whose wreck/rock/
+    obstruction points are rasterized as class-1 discs and overlaid on
+    the 0/2 labels (data/s57.py create_feature_labels /
+    merge_feature_labels) — real-data feature-class training signal."""
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     loader = BathymetricLoader(vr_bag_mode)
@@ -119,6 +127,24 @@ def compute_ground_truth(
     labels = np.where(np.abs(diff) > noise_threshold, 2.0, 0.0)
     labels = np.where(valid, labels, GT_NODATA_LABEL).astype(np.float32)
 
+    feature_cells = 0
+    if s57_path is not None:
+        from .s57 import (create_feature_labels, extract_features_from_s57,
+                          load_features_geojson, merge_feature_labels)
+
+        s57_path = str(s57_path)
+        if s57_path.endswith((".json", ".geojson")):
+            feats = load_features_geojson(s57_path)
+        else:
+            feats = extract_features_from_s57(s57_path)
+        fl = create_feature_labels(feats, (h, w), gt)
+        labels = merge_feature_labels(
+            labels.astype(np.int32), fl).astype(np.float32)
+        labels = np.where(valid, labels, GT_NODATA_LABEL).astype(np.float32)
+        feature_cells = int((labels == 1).sum())
+        logger.info("S-57 overlay: %d features -> %d class-1 cells",
+                    len(feats), feature_cells)
+
     stem = Path(noisy_path).stem
     out_raster = output_dir / f"{stem}_ground_truth.tif"
     bands = np.stack([
@@ -143,6 +169,7 @@ def compute_ground_truth(
         "valid_cells": int(valid.sum()),
         "noise_cells": noise_cells,
         "noise_pct": round(100.0 * noise_cells / nv, 2),
+        "feature_cells": feature_cells,
         "systematic_offset_m": round(offset, 4),
         "noise_threshold_m": noise_threshold,
         "diff_stats": {

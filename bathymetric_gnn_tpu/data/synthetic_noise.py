@@ -20,19 +20,26 @@ import numpy as np
 from scipy import ndimage
 
 from ..config.config import SyntheticNoiseConfig
-from ..config.constants import CLASS_NOISE, CLASS_SEAFLOOR
+from ..config.constants import CLASS_FEATURE, CLASS_NOISE, CLASS_SEAFLOOR
 
 
 @dataclass
 class NoiseLabel:
     """Ground-truth bundle for one synthesized sample
-    (reference: data/synthetic_noise.py:25-33)."""
+    (reference: data/synthetic_noise.py:25-33).
+
+    ``feature_mask`` (round 4, beyond the reference): cells where a
+    synthetic seafloor FEATURE (wreck/rock) was stamped into the CLEAN
+    surface — class 1 in ``classification`` unless noise corrupted the
+    cell (noise wins: the depth there needs correction back to the
+    feature surface). None when feature injection is disabled."""
 
     noisy_depth: np.ndarray
     clean_depth: np.ndarray
     noise_mask: np.ndarray
     noise_magnitude: np.ndarray
-    classification: np.ndarray  # 0 seafloor / 2 noise
+    classification: np.ndarray  # 0 seafloor / 1 feature / 2 noise
+    feature_mask: Optional[np.ndarray] = None
 
 
 class SyntheticNoiseGenerator:
@@ -61,6 +68,14 @@ class SyntheticNoiseGenerator:
         if valid_mask is None:
             valid_mask = np.isfinite(clean_depth)
 
+        feature_mask = None
+        if self.cfg.feature_enabled:
+            # features are REAL seafloor: stamped into the clean surface
+            # (so the correction target at un-noised feature cells is 0 —
+            # the model must preserve them, the opposite of noise)
+            clean_depth = clean_depth.copy()
+            feature_mask = self._add_features(clean_depth, valid_mask)
+
         noisy = clean_depth.copy()
         noise_mask = np.zeros(clean_depth.shape, bool)
         noise_mag = np.zeros(clean_depth.shape, np.float32)
@@ -68,7 +83,8 @@ class SyntheticNoiseGenerator:
         valid_depths = clean_depth[valid_mask]
         if valid_depths.size == 0:
             return NoiseLabel(noisy, clean_depth, noise_mask, noise_mag,
-                              np.full(clean_depth.shape, CLASS_SEAFLOOR, np.int64))
+                              np.full(clean_depth.shape, CLASS_SEAFLOOR, np.int64),
+                              feature_mask)
 
         depth_std = float(np.std(valid_depths))
         depth_range = float(np.ptp(valid_depths))
@@ -91,7 +107,66 @@ class SyntheticNoiseGenerator:
         classification = np.where(noise_mask, CLASS_NOISE, CLASS_SEAFLOOR).astype(
             np.int64
         )
-        return NoiseLabel(noisy, clean_depth, noise_mask, noise_mag, classification)
+        if feature_mask is not None:
+            # noise wins where both apply: the cell's depth is corrupted
+            # and must be corrected back to the (feature) clean surface
+            classification[feature_mask & ~noise_mask] = CLASS_FEATURE
+        return NoiseLabel(noisy, clean_depth, noise_mask, noise_mag,
+                          classification, feature_mask)
+
+    # -- seafloor features (class 1) ---------------------------------------
+
+    def _add_features(self, depth: np.ndarray, valid: np.ndarray
+                      ) -> np.ndarray:
+        """Stamp wreck/rock-like SHOALS into the clean surface; returns
+        the feature footprint mask (class 1 labels).
+
+        Beyond the reference: its generator has no feature class at all
+        (reference data/synthetic_noise.py:165-168) and its real-data
+        S-57 path (Phase 3) never shipped. Two families:
+
+        * rock/boulder: small radially-symmetric Gaussian bump;
+        * wreck: elongated anisotropic Gaussian ridge at a random
+          heading (length ~3x width), the classic side-scan wreck
+          signature.
+
+        Both SHOAL (depth decreases — the navigationally-critical kind a
+        cleaning model must never 'correct' away). The labeled footprint
+        is where the bump exceeds 20% of its peak height."""
+        h, w = depth.shape
+        feat = np.zeros((h, w), bool)
+        valid_idx = np.argwhere(valid)
+        if len(valid_idx) == 0:
+            return feat
+        clo, chi = self.cfg.feature_count_range
+        num = int(self.rng.integers(clo, chi + 1))
+        slo, shi = self.cfg.feature_size_range
+        hlo, hhi = self.cfg.feature_height_range
+        for _ in range(num):
+            cr, cc = valid_idx[self.rng.integers(len(valid_idx))]
+            size = int(self.rng.integers(slo, shi + 1))
+            height = float(self.rng.uniform(hlo, hhi))
+            wreck = self.rng.random() < self.cfg.feature_wreck_fraction
+            if wreck:
+                s_long, s_short = size, max(size / 3.0, 1.0)
+            else:
+                s_long = s_short = size / 2.0
+            theta = self.rng.uniform(0, np.pi)
+            ext = int(np.ceil(2.5 * s_long))
+            r0, r1 = max(cr - ext, 0), min(cr + ext + 1, h)
+            c0, c1 = max(cc - ext, 0), min(cc + ext + 1, w)
+            rr, cc_ = np.ogrid[r0:r1, c0:c1]
+            dy, dx = rr - cr, cc_ - cc
+            u = dx * np.cos(theta) + dy * np.sin(theta)
+            v = -dx * np.sin(theta) + dy * np.cos(theta)
+            bump = height * np.exp(
+                -0.5 * ((u / s_long) ** 2 + (v / s_short) ** 2)
+            ).astype(np.float32)
+            patch_valid = valid[r0:r1, c0:c1]
+            # shoal: depth DECREASES over the feature
+            depth[r0:r1, c0:c1][patch_valid] -= bump[patch_valid]
+            feat[r0:r1, c0:c1] |= patch_valid & (bump > 0.2 * height)
+        return feat
 
     # -- noise families ----------------------------------------------------
 

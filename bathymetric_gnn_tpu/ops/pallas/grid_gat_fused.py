@@ -61,16 +61,22 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
-def _resolve_block_rows(hgt: int, block_rows: int):
+def _resolve_block_rows(hgt: int, block_rows: int, wid: int = 0):
     """Single source of truth for kernel eligibility (shared by
     _fused_forward, _fused_backward, and _bwd so forward and backward can
     never drift onto different paths): downgrade the row-block size
     rather than falling back outright — the fused kernel needs hgt to
-    tile exactly with at least two blocks. Returns (r, tiles_ok)."""
+    tile exactly with at least two blocks, and (round 4) the width must
+    be lane-aligned: W is the minor/lane dim of every in-kernel 2-D
+    array, and Mosaic rejects the [.., W]-major reshapes for W % 128
+    != 0 ("unsupported shape cast" at tile 48 — found driving `train
+    --tile-size 48`). Such shapes take the XLA fallback instead of
+    failing to compile. Returns (r, tiles_ok)."""
     r = block_rows
     while r > 8 and (hgt % r != 0 or hgt < 2 * r):
         r //= 2
-    return r, hgt % r == 0 and hgt >= 2 * r
+    ok = hgt % r == 0 and hgt >= 2 * r and wid % 128 == 0
+    return r, ok
 
 
 def _offsets(connectivity: int):
@@ -331,7 +337,7 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
     hc = w_lin.shape[1]
     c = hc // heads
     k = len(offsets)
-    r, tiles_ok = _resolve_block_rows(hgt, block_rows)
+    r, tiles_ok = _resolve_block_rows(hgt, block_rows, wid)
     fuse_bn = bn_scale is not None
     lowp = compute_dtype != jnp.float32
     if not tiles_ok:  # ragged/small tiles: XLA formulation
@@ -889,8 +895,8 @@ def _bwd(connectivity, negative_slope, use_edge, block_rows, interpret,
     (x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask, valid, bias,
      dmask) = residuals
     offsets = _offsets(connectivity)
-    hgt = x.shape[0]
-    _, tiles_ok = _resolve_block_rows(hgt, block_rows)
+    hgt, wid = x.shape[0], x.shape[1]
+    _, tiles_ok = _resolve_block_rows(hgt, block_rows, wid)
     dmask_ct = None if dmask is None else jnp.zeros_like(dmask)
     # backward recomputes in f32 regardless of the forward's stream dtype
     # (bf16 rounding treated as identity); cotangent may arrive bf16

@@ -101,14 +101,39 @@ class SyntheticTileDataset:
     def __len__(self) -> int:
         return len(self.tiles)
 
-    def __getitem__(self, idx: int) -> GraphSample:
+    def raw_item(self, idx: int, seed: Optional[int] = None) -> Dict:
+        """Host-only (pure numpy) half of __getitem__: noise synthesis +
+        target grids. Safe inside worker PROCESSES — never touches JAX
+        (utils/mp_loader runs this in a spawn pool; the jitted graph
+        build stays in the parent via finalize). ``seed`` makes the draw
+        a pure function of (seed, tile) instead of the dataset's
+        sequential rng — required for order-independence across
+        workers."""
         clean, unc, res = self.tiles[idx]
         valid = np.isfinite(clean)
-        lbl = self.augmentor(clean, valid)
-        bg = self.builder.build_graph(lbl.noisy_depth, valid, unc, res)
+        if seed is None:
+            lbl = self.augmentor(clean, valid)
+        else:
+            gen = SyntheticNoiseGenerator(self.config.synthetic_noise,
+                                          seed=seed)
+            aug = NoiseAugmentor(gen, self.augmentor.intensity_range,
+                                 seed=seed + 1)
+            lbl = aug(clean, valid)
         raw_corr = (lbl.noisy_depth - lbl.clean_depth).astype(np.float32)
-        targets = targets_from_built_graph(bg, lbl.classification, raw_corr)
+        return {"noisy": lbl.noisy_depth, "valid": valid, "unc": unc,
+                "res": res, "labels": lbl.classification,
+                "raw_corr": raw_corr}
+
+    def finalize(self, raw: Dict) -> GraphSample:
+        """Device half: jitted graph build + per-node target gather."""
+        bg = self.builder.build_graph(raw["noisy"], raw["valid"],
+                                      raw["unc"], raw["res"])
+        targets = targets_from_built_graph(bg, raw["labels"],
+                                           raw["raw_corr"])
         return GraphSample(bg.graph, targets, bg.num_nodes)
+
+    def __getitem__(self, idx: int) -> GraphSample:
+        return self.finalize(self.raw_item(idx))
 
     def class_counts(self, sample_limit: int = 50) -> np.ndarray:
         """Approximate per-class node counts for class weighting
@@ -186,9 +211,10 @@ class GroundTruthTileDataset:
     def class_counts(self) -> np.ndarray:
         return self._class_counts
 
-    def __getitem__(self, idx: int) -> GraphSample:
-        if idx in self._cache:
-            return self._cache[idx]
+    def raw_item(self, idx: int, seed: Optional[int] = None) -> Dict:
+        """Host-only half: raster IO + window slicing (pure numpy/IO —
+        worker-process safe, see SyntheticTileDataset.raw_item). ``seed``
+        is accepted for interface parity (GT tiles are deterministic)."""
         path, spec = self.index[idx]
         bands, meta = self._read_bands(path)
         sl = np.s_[spec.row_start:spec.row_end, spec.col_start:spec.col_end]
@@ -198,9 +224,20 @@ class GroundTruthTileDataset:
         unc = bands[4][sl] if len(bands) > 4 else None
         valid = labels >= 0
         res = meta.get("resolution", (1.0, 1.0))
-        bg = self.builder.build_graph(noisy, valid, unc, res)
-        targets = targets_from_built_graph(bg, np.maximum(labels, 0), diff)
-        sample = GraphSample(bg.graph, targets, bg.num_nodes)
+        return {"noisy": noisy, "valid": valid, "unc": unc, "res": res,
+                "labels": np.maximum(labels, 0), "raw_corr": diff}
+
+    def finalize(self, raw: Dict) -> GraphSample:
+        bg = self.builder.build_graph(raw["noisy"], raw["valid"],
+                                      raw["unc"], raw["res"])
+        targets = targets_from_built_graph(bg, raw["labels"],
+                                           raw["raw_corr"])
+        return GraphSample(bg.graph, targets, bg.num_nodes)
+
+    def __getitem__(self, idx: int) -> GraphSample:
+        if idx in self._cache:
+            return self._cache[idx]
+        sample = self.finalize(self.raw_item(idx))
         self._cache[idx] = sample
         self._cache_order.append(idx)
         if len(self._cache_order) > self.cache_size:

@@ -189,6 +189,7 @@ class Trainer:
 
         self.metrics = MetricsLogger(self.output_dir / "metrics.jsonl")
         self.meter = ThroughputMeter()
+        self._mp_loader = None  # lazy ProcessSampleLoader (num_workers>0)
 
         # sparse k-NN training path: with knn_k > 0 the batches are
         # bounded-degree k-NN graphs; train through the banded-ELL fused
@@ -400,9 +401,21 @@ class Trainer:
             tl, ta, nb = 0.0, 0.0, 0
             from ..utils.prefetch import prefetch_iterator
 
-            for graph, targets in prefetch_iterator(
-                    epoch_batches(self.train_dataset, tc.batch_size,
-                                  self.rng)):
+            if getattr(tc, "num_workers", 0) > 0:
+                # multi-process host pipeline: noise synthesis + raster
+                # IO in worker processes, graph build in-process
+                # (utils/mp_loader; lazily created, reused across epochs)
+                if self._mp_loader is None:
+                    from ..utils.mp_loader import ProcessSampleLoader
+
+                    self._mp_loader = ProcessSampleLoader(
+                        self.train_dataset, num_workers=tc.num_workers)
+                batches = self._mp_loader.epoch_batches(tc.batch_size,
+                                                        self.rng)
+            else:
+                batches = epoch_batches(self.train_dataset, tc.batch_size,
+                                        self.rng)
+            for graph, targets in prefetch_iterator(batches):
                 self.jax_rng, sub = jax.random.split(self.jax_rng)
                 if self.use_banded_training:
                     g, banded = self._sparse_batch(graph)
@@ -456,6 +469,9 @@ class Trainer:
         self.save_checkpoint(state, epoch, best_val, "final")
         with open(self.output_dir / "history.json", "w") as f:
             json.dump(self.history, f)
+        if self._mp_loader is not None:
+            self._mp_loader.close()
+            self._mp_loader = None
         return state
 
     def evaluate(self, state: TrainState) -> Tuple[float, float]:

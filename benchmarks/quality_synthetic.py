@@ -35,11 +35,15 @@ def main():
                     help="number of 512^2 training surfaces")
     ap.add_argument("--seed", type=int, default=0,
                     help="shifts surface + trainer seeds (variance runs)")
+    ap.add_argument("--no-features", action="store_true",
+                    help="disable synthetic class-1 feature injection "
+                         "(round-4 default is ON: the gate is 3-class)")
     args = ap.parse_args()
 
     import jax
 
     from bathymetric_gnn_tpu.config.config import (Config, ModelConfig,
+                                                   SyntheticNoiseConfig,
                                                    TrainingConfig)
     from bathymetric_gnn_tpu.data.graph_build import build_grid_inputs
     from bathymetric_gnn_tpu.data.synthetic_noise import \
@@ -73,6 +77,8 @@ def main():
         training=TrainingConfig(epochs=args.epochs, batch_size=8,
                                 seed=args.seed,
                                 early_stop_patience=100),
+        synthetic_noise=SyntheticNoiseConfig(
+            feature_enabled=not args.no_features),
     )
     train_grids = [make_surface(1000 * args.seed + i)
                    for i in range(args.surfaces)]
@@ -121,7 +127,10 @@ def main():
     metrics["final_train_loss"] = trainer.history["train_loss"][-1]
     metrics["final_val_acc"] = trainer.history["val_acc"][-1]
     print_metrics(metrics)
+    feat = metrics["per_class"].get("feature", {})
     print(json.dumps({"noise_f1": metrics["per_class"]["noise"]["f1"],
+                      "feature_f1": feat.get("f1", 0.0),
+                      "feature_support": feat.get("support", 0),
                       "accuracy": metrics["accuracy"],
                       "macro_f1": metrics["macro_f1"]}))
     if args.output_json:

@@ -113,6 +113,12 @@ def main():
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--model", help="existing COO checkpoint dir "
                                     "(skips the quick training)")
+    ap.add_argument("--sweep", action="store_true",
+                    help="sweep the auto-correct confidence threshold "
+                         "0.50-0.95 through the REAL CLI and report "
+                         "RMSE-reduction / spike-recall / "
+                         "false-correction-rate per threshold "
+                         "(VERDICT r3 item 5)")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
@@ -140,33 +146,66 @@ def main():
 
     # score: per-refinement corrected vs clean truth (match by base cell)
     truth_by_cell = {(r, c): t for (r, c, *_), t in zip(refs, truth)}
-    out = VRBagHandler(dst)
-    se_before = se_after = 0.0
-    spike_before = spike_after = 0.0
+    noisy_by_cell = {(r, c): noisy for (r, c, noisy, *_) in refs}
+
+    def score_output(dst_path):
+        """Corrected BAG vs truth: RMSE + spike MAE + sweep stats.
+
+        spike_recall: spike cells whose error shrank by >=50%;
+        false_corr_*: NON-spike valid cells the model changed at all
+        (the cost side of lowering the confidence bar)."""
+        out_h = VRBagHandler(dst_path)
+        se_after = spike_after = 0.0
+        n_cells = n_spike = spike_hit = 0
+        n_clean_cells = n_false = 0
+        false_abs = 0.0
+        for grid in out_h.iterate_refinements(min_valid_ratio=0.0):
+            key = (grid.base_row, grid.base_col)
+            clean, spike_mask, invalid = truth_by_cell[key]
+            noisy = noisy_by_cell[key]
+            corr = grid.depth
+            valid = ~invalid & np.isfinite(corr) & (np.abs(corr) < 1e5)
+            se_after_g = (corr - clean)[valid]
+            se_after += float(np.sum(se_after_g ** 2))
+            n_cells += int(valid.sum())
+            sm = spike_mask & valid
+            if sm.any():
+                err_b = np.abs((noisy - clean)[sm])
+                err_a = np.abs((corr - clean)[sm])
+                spike_after += float(np.sum(err_a))
+                spike_hit += int(np.sum(err_a <= 0.5 * err_b))
+                n_spike += int(sm.sum())
+            cm = ~spike_mask & valid
+            changed = cm & (np.abs(corr - noisy) > 1e-5)
+            n_clean_cells += int(cm.sum())
+            n_false += int(changed.sum())
+            if changed.any():
+                false_abs += float(np.sum(np.abs((corr - noisy)[changed])))
+        return {
+            "rmse_after": float(np.sqrt(se_after / max(n_cells, 1))),
+            "spike_mae_after": spike_after / max(n_spike, 1),
+            "spike_recall": spike_hit / max(n_spike, 1),
+            "false_corr_rate": n_false / max(n_clean_cells, 1),
+            "false_corr_mean_m": false_abs / max(n_false, 1),
+            "n_cells": n_cells, "n_spike": n_spike,
+        }
+
+    sc = score_output(dst)
+    se_before = spike_before = 0.0
     n_cells = n_spike = 0
-    for grid in out.iterate_refinements(min_valid_ratio=0.0):
-        clean, spike_mask, invalid = truth_by_cell[
-            (grid.base_row, grid.base_col)]
-        corr = grid.depth
-        valid = ~invalid & np.isfinite(corr) & (np.abs(corr) < 1e5)
-        d_after = (corr - clean)[valid]
-        se_after += float(np.sum(d_after ** 2))
-        n_cells += int(valid.sum())
-        sm = spike_mask & valid
-        if sm.any():
-            spike_after += float(np.sum(np.abs((corr - clean)[sm])))
-            n_spike += int(sm.sum())
     # before: recompute from the stored refs
     for (r, c, noisy, _, _), (clean, spike_mask, invalid) in zip(refs,
                                                                  truth):
         valid = ~invalid & (noisy != BAG_NODATA)
         se_before += float(np.sum((noisy - clean)[valid] ** 2))
+        n_cells += int(valid.sum())
         sm = spike_mask & valid
         if sm.any():
             spike_before += float(np.sum(np.abs((noisy - clean)[sm])))
+            n_spike += int(sm.sum())
 
     rmse_before = float(np.sqrt(se_before / max(n_cells, 1)))
-    rmse_after = float(np.sqrt(se_after / max(n_cells, 1)))
+    rmse_after = sc["rmse_after"]
     result = {
         "metric": "vr_roundtrip",
         "refinements": len(refs),
@@ -177,9 +216,38 @@ def main():
         "rmse_reduction_pct": round(
             100 * (1 - rmse_after / max(rmse_before, 1e-9)), 1),
         "spike_mae_noisy_m": round(spike_before / max(n_spike, 1), 3),
-        "spike_mae_corrected_m": round(spike_after / max(n_spike, 1), 3),
+        "spike_mae_corrected_m": round(sc["spike_mae_after"], 3),
+        "spike_recall": round(sc["spike_recall"], 4),
+        "false_corr_rate": round(sc["false_corr_rate"], 5),
     }
     print(json.dumps(result))
+
+    if args.sweep:
+        # threshold/recall analysis through the REAL CLI (VERDICT r3
+        # item 5): is recall limited by the 0.85 bar or by the
+        # confidence head itself?
+        for thr in (0.5, 0.6, 0.7, 0.8, 0.85, 0.9, 0.95):
+            dst_t = tmp / f"survey_vr_clean_t{int(thr * 100)}.bag"
+            t1 = time.time()
+            inference_native.main([
+                "--input", str(src), "--output", str(dst_t),
+                "--model", str(ckpt), "--no-sidecar",
+                "--confidence-threshold", str(thr),
+            ])
+            s = score_output(dst_t)
+            print(json.dumps({
+                "metric": "vr_threshold_sweep", "threshold": thr,
+                "rmse_reduction_pct": round(
+                    100 * (1 - s["rmse_after"] / max(rmse_before, 1e-9)),
+                    1),
+                "spike_mae_m": round(s["spike_mae_after"], 3),
+                "spike_recall": round(s["spike_recall"], 4),
+                "false_corr_rate": round(s["false_corr_rate"], 5),
+                "false_corr_mean_m": round(s["false_corr_mean_m"], 4),
+                "seconds": round(time.time() - t1, 1),
+            }))
+            dst_t.unlink(missing_ok=True)
+
     assert rmse_after < rmse_before, "correction must reduce RMSE"
     if not args.keep:
         import shutil

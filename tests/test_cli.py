@@ -164,3 +164,56 @@ class TestDiagnostics:
         explore_main([str(tmp_path / "v.bag")])
         out2 = json.loads(capsys.readouterr().out)
         assert out2[str(tmp_path / "v.bag")]["type"] == "VR"
+
+
+class TestGroundTruthS57Overlay:
+    def test_s57_geojson_overlay_labels_features(self, tmp_path):
+        """Round-4 wiring of the reference's unshipped Phase 3: S-57
+        feature points overlay class-1 discs onto the prepared GT raster
+        and flow into the GT dataset's labels."""
+        from bathymetric_gnn_tpu.config.config import BucketConfig, Config
+        from bathymetric_gnn_tpu.data.ground_truth import \
+            compute_ground_truth
+        from bathymetric_gnn_tpu.data.s57 import (S57Feature,
+                                                  features_to_geojson)
+        from bathymetric_gnn_tpu.data.synthetic_noise import \
+            SyntheticNoiseGenerator
+        from bathymetric_gnn_tpu.training.datasets import \
+            GroundTruthTileDataset
+
+        clean = make_ramp_surface(128, 128)
+        lbl = SyntheticNoiseGenerator(seed=0).generate(clean)
+        write_geotiff(tmp_path / "c.tif", clean[None], pixel_scale=(1, 1),
+                      origin=(0.0, 128.0))
+        write_geotiff(tmp_path / "n.tif", lbl.noisy_depth[None],
+                      pixel_scale=(1, 1), origin=(0.0, 128.0))
+        feats = [
+            S57Feature("WRECKS", "point", x=40.0, y=80.0, depth=12.0),
+            S57Feature("UWTROC", "point", x=100.0, y=30.0),
+            S57Feature("SOUNDG", "point", x=60.0, y=60.0),  # label None
+        ]
+        gj = tmp_path / "feats.geojson"
+        features_to_geojson(feats, gj)
+        stats = compute_ground_truth(
+            tmp_path / "c.tif", tmp_path / "n.tif", tmp_path / "gt",
+            s57_path=gj)
+        assert stats["feature_cells"] > 0
+        bands, _ = read_geotiff(tmp_path / "gt" / "n_ground_truth.tif")
+        labels = bands[0]
+        assert (labels == 1).sum() == stats["feature_cells"]
+        # wreck disc (r=50 m) centered at col 40, row 128-80=48
+        assert labels[48, 40] == 1
+        # nodata untouched
+        assert set(np.unique(labels)) <= {-1.0, 0.0, 1.0, 2.0}
+
+        cfg = Config(bucket=BucketConfig(node_buckets=(4096, 16384)))
+        ds = GroundTruthTileDataset(
+            [str(tmp_path / "gt" / "n_ground_truth.tif")], cfg,
+            tile_size=64, overlap=8,
+        )
+        found = set()
+        for i in range(len(ds)):
+            s = ds[i]
+            found |= set(np.unique(s.targets["labels"][:s.num_nodes]))
+        assert 1 in found
+        assert ds.class_counts()[1] > 0

@@ -147,3 +147,53 @@ class TestSyntheticNoise:
         lbl = SyntheticNoiseGenerator(cfg, seed=0).generate(make_ramp_surface(32, 32))
         assert not lbl.noise_mask.any()
         np.testing.assert_array_equal(lbl.noisy_depth, lbl.clean_depth)
+
+
+class TestSyntheticFeatures:
+    """Round-4 class-1 training signal (the reference generator emits
+    only 0/2 — reference data/synthetic_noise.py:165-168)."""
+
+    def _gen(self, seed=3):
+        from bathymetric_gnn_tpu.config.config import SyntheticNoiseConfig
+        from bathymetric_gnn_tpu.data.synthetic_noise import \
+            SyntheticNoiseGenerator
+
+        cfg = SyntheticNoiseConfig(feature_enabled=True,
+                                   feature_count_range=(2, 4))
+        return SyntheticNoiseGenerator(cfg, seed=seed)
+
+    def test_feature_labels_present(self):
+        clean = (30 + np.random.default_rng(0)
+                 .normal(0, 0.1, (128, 128))).astype(np.float32)
+        lbl = self._gen().generate(clean.copy())
+        u = set(np.unique(lbl.classification))
+        assert 1 in u
+        assert lbl.feature_mask is not None and lbl.feature_mask.any()
+        # noise wins where both apply
+        assert not ((lbl.classification == 1)
+                    & np.asarray(lbl.noise_mask)).any()
+
+    def test_features_shoal_the_clean_surface(self):
+        clean = np.full((96, 96), 30.0, np.float32)
+        lbl = self._gen(seed=5).generate(clean.copy())
+        fm = lbl.feature_mask
+        assert fm.any()
+        # depth DECREASES (shoals) at features, in the CLEAN surface
+        assert (lbl.clean_depth[fm] < 30.0 - 1e-6).all()
+        # bumps only ever shoal (never deepen), and the Gaussian tails
+        # die off: far-field cells are untouched
+        assert (lbl.clean_depth <= 30.0 + 1e-6).all()
+        from scipy import ndimage
+
+        far = ~ndimage.binary_dilation(fm, iterations=40)
+        if far.any():
+            assert np.allclose(lbl.clean_depth[far], 30.0, atol=1e-3)
+
+    def test_default_config_unchanged(self):
+        from bathymetric_gnn_tpu.data.synthetic_noise import \
+            SyntheticNoiseGenerator
+
+        clean = np.full((64, 64), 25.0, np.float32)
+        lbl = SyntheticNoiseGenerator(seed=1).generate(clean)
+        assert lbl.feature_mask is None
+        assert set(np.unique(lbl.classification)) <= {0, 2}

@@ -84,3 +84,74 @@ class TestBenchImports:
             mod = importlib.util.module_from_spec(spec)
             spec.loader.exec_module(mod)
             assert hasattr(mod, "main") or hasattr(mod, "entry")
+
+
+class TestProcessSampleLoader:
+    """Round-4 multi-process host input pipeline (SURVEY §2.2 row)."""
+
+    def _dataset(self):
+        from bathymetric_gnn_tpu.config.config import (BucketConfig, Config,
+                                                       ModelConfig)
+        from bathymetric_gnn_tpu.training.datasets import SyntheticTileDataset
+        from conftest import make_ramp_surface
+
+        cfg = Config(model=ModelConfig(hidden_channels=8, num_layers=2),
+                     bucket=BucketConfig(node_buckets=(2048,)))
+        grids = [make_ramp_surface(80, 80, seed=i) for i in range(2)]
+        return SyntheticTileDataset(grids, cfg, tile_size=40, overlap=8,
+                                    min_valid_ratio=0.0, seed=0)
+
+    def test_matches_inprocess_reference(self):
+        import numpy as np
+
+        from bathymetric_gnn_tpu.training.datasets import collate_samples
+        from bathymetric_gnn_tpu.utils.mp_loader import ProcessSampleLoader
+
+        ds = self._dataset()
+        bs = 2
+        with ProcessSampleLoader(ds, num_workers=2) as loader:
+            got = list(loader.epoch_batches(bs, np.random.default_rng(5)))
+        assert len(got) == len(ds) // bs
+
+        # replicate the loader's seeding contract in-process
+        rng = np.random.default_rng(5)
+        order = np.arange(len(ds))
+        rng.shuffle(order)
+        base = int(rng.integers(1 << 30))
+        order = order[:len(ds) - len(ds) % bs]
+        want = []
+        for s in range(0, len(order), bs):
+            want.append(collate_samples(
+                [ds.finalize(ds.raw_item(int(i), seed=base + int(i)))
+                 for i in order[s:s + bs]]))
+        for (g1, t1), (g2, t2) in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g1.x), np.asarray(g2.x),
+                                       rtol=1e-6, atol=1e-6)
+            np.testing.assert_array_equal(t1["labels"], t2["labels"])
+            np.testing.assert_allclose(t1["correction"], t2["correction"],
+                                       rtol=1e-6, atol=1e-6)
+
+    def test_worker_schedule_independence(self):
+        """Same seed, different worker counts -> identical batches."""
+        import numpy as np
+
+        from bathymetric_gnn_tpu.utils.mp_loader import ProcessSampleLoader
+
+        ds = self._dataset()
+        outs = []
+        for nw in (1, 2):
+            with ProcessSampleLoader(ds, num_workers=nw) as loader:
+                outs.append(list(
+                    loader.epoch_batches(2, np.random.default_rng(7))))
+        for (g1, t1), (g2, t2) in zip(*outs):
+            np.testing.assert_array_equal(np.asarray(g1.x),
+                                          np.asarray(g2.x))
+            np.testing.assert_array_equal(t1["labels"], t2["labels"])
+
+    def test_rejects_unsplittable(self):
+        import pytest as _pytest
+
+        from bathymetric_gnn_tpu.utils.mp_loader import ProcessSampleLoader
+
+        with _pytest.raises(TypeError):
+            ProcessSampleLoader([1, 2, 3], num_workers=1)
