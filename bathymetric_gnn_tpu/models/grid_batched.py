@@ -78,13 +78,16 @@ class BatchedGridGNN(nn.Module):
                             if not deterministic else {"params": False}),
             )(conv, x, valid, nbr_mask, edge_attr)
             width = self.hidden_channels * (self.heads if not last else 1)
+            # relu + feature dropout fold into the norm's fused pass
+            # (saves a [B*N, F] read+write round trip on the bf16 path)
+            do_drop = (not last and self.dropout > 0 and not deterministic)
             xf = MaskedBatchNorm(width)(
-                x.reshape(-1, width), flat_valid, use_running_average
+                x.reshape(-1, width), flat_valid, use_running_average,
+                fuse_relu=not last,
+                drop_rate=self.dropout if do_drop else 0.0,
+                drop_rng=self.make_rng("dropout") if do_drop else None,
             )
             x = xf.reshape(b, hgt, wid, width)
-            if not last:
-                x = nn.relu(x)
-                x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
 
         logits = ClassificationHead(self.hidden_channels, self.num_classes,
                                     self.dropout)(x, deterministic)

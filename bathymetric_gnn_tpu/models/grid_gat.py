@@ -338,13 +338,16 @@ class GridBathymetricGNN(nn.Module):
                          bn_scale=sc2, bn_bias=bi2, fuse_relu=not last)
             else:
                 x = conv(x, valid, nbr_mask, edge_attr, deterministic)
+                # relu + feature dropout fold into the norm's fused pass
+                # (saves a [N, F] read+write round trip on the bf16 path)
+                do_drop = (not last and self.dropout > 0
+                           and not deterministic)
                 xf = norm(x.reshape(-1, width), flat_valid,
-                          use_running_average)
+                          use_running_average, fuse_relu=not last,
+                          drop_rate=self.dropout if do_drop else 0.0,
+                          drop_rng=(self.make_rng("dropout")
+                                    if do_drop else None))
                 x = xf.reshape(hgt, wid, width)
-                if not last:
-                    x = nn.relu(x)
-            if not last:
-                x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
 
         logits = ClassificationHead(self.hidden_channels, self.num_classes,
                                     self.dropout)(x, deterministic)

@@ -327,10 +327,49 @@ def fused_grid_gat_infer(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
                           fuse_relu=fuse_relu, compute_dtype=compute_dtype)
 
 
+def _edge_precompute(w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
+                     use_edge, heads, hgt, wid, compute_dtype):
+    """XLA-side per-layer precompute shared by the fwd and bwd kernels.
+
+    el layouts are heads-MAJOR [K, heads, H, W] / [heads, H, W]: W stays
+    the minor dim, so the HBM arrays are lane-clean. The trailing-heads
+    layout tile-pads 4 lanes to 128 (32x physical inflation) and measures
+    ~9x slower to produce and stream (benchmarks/RESULTS.md).
+
+    Returned as a tuple so the custom VJP can stash it in the residuals:
+    recomputing el/ea_t in the backward costs a second set of einsums +
+    [K, heads, H, W]-scale converts per layer (round-4 profiling).
+    """
+    nbm4 = nbr_mask[:, None] > 0                          # [K, 1, H, W]
+    if use_edge:
+        ea32 = eattr.astype(jnp.float32)
+        me32 = m_edge.astype(jnp.float32)
+        el = jnp.einsum("khwf,fa->kahw", ea32, me32)      # [K, heads, H, W]
+        el = jnp.where(nbm4, el, NEG)
+        cnt = jnp.maximum(jnp.sum(nbr_mask, 0), 1.0)[..., None]
+        mean_attr = jnp.sum(
+            jnp.where(nbr_mask[..., None] > 0, ea32, 0.0), 0) / cnt
+        el_self = jnp.einsum("hwf,fa->ahw", mean_attr,
+                             me32)                        # [heads, H, W]
+        ea_t = jnp.einsum("khwf->kfhw", ea32).astype(compute_dtype)
+        ma_t = jnp.einsum("hwf->fhw", mean_attr).astype(compute_dtype)
+    else:
+        el = jnp.where(nbm4, 0.0, NEG) * jnp.ones((1, heads, 1, 1))
+        el_self = jnp.zeros((heads, hgt, wid), jnp.float32)
+        ed = m_edge.shape[0]
+        ea_t = jnp.zeros((nbr_mask.shape[0], ed, hgt, wid), compute_dtype)
+        ma_t = jnp.zeros((ed, hgt, wid), compute_dtype)
+    wa_cat = jnp.concatenate(
+        [w_lin @ a_src_mat, w_lin @ a_dst_mat], axis=1)   # [F, 2*heads]
+    return (wa_cat.astype(compute_dtype), el.astype(compute_dtype),
+            el_self.astype(compute_dtype), ea_t, ma_t)
+
+
 def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
                    valid, bias, connectivity, negative_slope, use_edge,
                    block_rows, interpret, bn_scale=None, bn_bias=None,
-                   fuse_relu=False, compute_dtype=jnp.float32, dmask=None):
+                   fuse_relu=False, compute_dtype=jnp.float32, dmask=None,
+                   pre=None):
     offsets = _offsets(connectivity)
     hgt, wid, f_in = x.shape
     heads = a_src_mat.shape[1]
@@ -358,33 +397,14 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
             out = out * (valid[..., None] > 0)
         return out.astype(compute_dtype)
 
-    # --- XLA-side precompute (tiny vs the kernel body, fused by XLA) ---
-    # el layouts are heads-MAJOR [K, heads, H, W] / [heads, H, W]: W stays
-    # the minor dim, so the HBM arrays are lane-clean. The trailing-heads
-    # layout tile-pads 4 lanes to 128 (32x physical inflation) and measures
-    # ~9x slower to produce and stream (benchmarks/RESULTS.md).
-    nbm4 = nbr_mask[:, None] > 0                          # [K, 1, H, W]
-    if use_edge:
-        ea32 = eattr.astype(jnp.float32)
-        me32 = m_edge.astype(jnp.float32)
-        el = jnp.einsum("khwf,fa->kahw", ea32, me32)      # [K, heads, H, W]
-        el = jnp.where(nbm4, el, NEG)
-        cnt = jnp.maximum(jnp.sum(nbr_mask, 0), 1.0)[..., None]
-        mean_attr = jnp.sum(
-            jnp.where(nbr_mask[..., None] > 0, ea32, 0.0), 0) / cnt
-        el_self = jnp.einsum("hwf,fa->ahw", mean_attr,
-                             me32)                        # [heads, H, W]
-    else:
-        el = jnp.where(nbm4, 0.0, NEG) * jnp.ones((1, heads, 1, 1))
-        el_self = jnp.zeros((heads, hgt, wid), jnp.float32)
-    wa_cat = jnp.concatenate(
-        [w_lin @ a_src_mat, w_lin @ a_dst_mat], axis=1)   # [F, 2*heads]
+    if pre is None:
+        pre = _edge_precompute(w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
+                               nbr_mask, use_edge, heads, hgt, wid,
+                               compute_dtype)
+    wa_cat, el, el_self, _, _ = pre
 
     x = x.astype(compute_dtype)
     w_lin = w_lin.astype(compute_dtype)
-    wa_cat = wa_cat.astype(compute_dtype)
-    el = el.astype(compute_dtype)
-    el_self = el_self.astype(compute_dtype)
     nb = hgt // r
     xr = x.reshape(nb, r, wid, f_in)
     z = jnp.zeros((1, wid, f_in), compute_dtype)
@@ -696,7 +716,7 @@ def _bwd_kernel(
 def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
                     valid, bias, dmask, g, connectivity, negative_slope,
                     use_edge, block_rows, interpret,
-                    compute_dtype=jnp.float32):
+                    compute_dtype=jnp.float32, pre=None):
     """Pallas backward: returns (dx, dw_lin, da_src_mat, da_dst_mat,
     dm_edge, dbias). Caller guarantees the shape tiles (same rule as the
     forward kernel).
@@ -722,18 +742,12 @@ def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
     g32 = g.astype(cd)
     valid_f = valid.astype(jnp.float32)
 
-    # el precompute — identical to the forward
-    nbm4 = nbr_mask[:, None] > 0
-    ea32 = eattr.astype(jnp.float32)
-    me32 = m_edge.astype(jnp.float32)
-    el = jnp.where(nbm4, jnp.einsum("khwf,fa->kahw", ea32, me32), NEG)
-    cnt = jnp.maximum(jnp.sum(nbr_mask, 0), 1.0)[..., None]
-    mean_attr = jnp.sum(jnp.where(nbr_mask[..., None] > 0, ea32, 0.0),
-                        0) / cnt
-    el_self = jnp.einsum("hwf,fa->ahw", mean_attr, me32)
-    wa_cat = jnp.concatenate([w_lin @ a_src_mat, w_lin @ a_dst_mat], axis=1)
-    ea_t = jnp.einsum("khwf->kfhw", ea32)
-    ma_t = jnp.einsum("hwf->fhw", mean_attr)
+    # el precompute — identical to the forward; normally handed over from
+    # the forward's residuals (pre) so it is NOT recomputed here
+    if pre is None:
+        pre = _edge_precompute(w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
+                               nbr_mask, use_edge, heads, hgt, wid, cd)
+    wa_cat, el, el_self, ea_t, ma_t = pre
 
     xr = x32.reshape(nb, r, wid, f_in)
     z1 = jnp.zeros((1, wid, f_in), cd)
@@ -752,13 +766,13 @@ def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
 
     # halo side arrays carry the block index LEADING so every block's
     # last-two dims stay full-size (Mosaic tiling rule for small dims)
-    negrow = jnp.full((1, k, heads, wid), NEG, jnp.float32)
+    negrow = jnp.full((1, k, heads, wid), NEG, cd)
     el_top = jnp.concatenate(
         [negrow, jnp.moveaxis(el[:, :, r - 1::r, :][:, :, :nb - 1], 2, 0)],
         0)                                                # [nb, K, heads, W]
     el_bot = jnp.concatenate(
         [jnp.moveaxis(el[:, :, r::r, :], 2, 0), negrow], 0)
-    zs = jnp.zeros((1, heads, wid), jnp.float32)
+    zs = jnp.zeros((1, heads, wid), cd)
     els_top = jnp.concatenate(
         [zs, jnp.moveaxis(el_self[:, r - 1::r][:, :nb - 1], 1, 0)], 0)
     els_bot = jnp.concatenate(
@@ -882,37 +896,52 @@ def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
 def _fwd(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask, valid,
          bias, dmask, connectivity, negative_slope, use_edge, block_rows,
          interpret, compute_dtype=jnp.float32):
+    hgt, wid = x.shape[0], x.shape[1]
+    _, tiles_ok = _resolve_block_rows(hgt, block_rows, wid)
+    pre = None
+    if tiles_ok:
+        # share the el/wa_cat precompute between fwd and bwd kernels via
+        # the residuals (saves a full recompute of the [K, heads, H, W]
+        # einsums + converts in the backward)
+        pre = _edge_precompute(w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
+                               nbr_mask, use_edge, a_src_mat.shape[1],
+                               hgt, wid, compute_dtype)
     out = _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
                          nbr_mask, valid, bias, connectivity,
                          negative_slope, use_edge, block_rows, interpret,
-                         dmask=dmask, compute_dtype=compute_dtype)
+                         dmask=dmask, compute_dtype=compute_dtype, pre=pre)
     return out, (x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
-                 valid, bias, dmask)
+                 valid, bias, dmask, pre)
 
 
 def _bwd(connectivity, negative_slope, use_edge, block_rows, interpret,
          compute_dtype, residuals, g):
     (x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask, valid, bias,
-     dmask) = residuals
+     dmask, pre) = residuals
     offsets = _offsets(connectivity)
     hgt, wid = x.shape[0], x.shape[1]
     _, tiles_ok = _resolve_block_rows(hgt, block_rows, wid)
     dmask_ct = None if dmask is None else jnp.zeros_like(dmask)
-    # backward recomputes in f32 regardless of the forward's stream dtype
-    # (bf16 rounding treated as identity); cotangent may arrive bf16
-    g = g.astype(jnp.float32)
 
     # `use_edge` gates the bwd kernel only (it assumes the edge-logit
     # path); when False, forward may run Pallas while backward takes the
     # XLA vjp of the parity-tested reference — numerically equivalent.
     if tiles_ok and use_edge:
+        # cotangent goes to the kernel in compute_dtype: upcasting a bf16 g
+        # to f32 here just to re-round it to bf16 inside _fused_backward
+        # materialized an extra [H, W, HC] f32 copy per layer (profiled
+        # ~0.2 ms/layer round 4)
         dx, dw, das, dad, dme, db = _fused_backward(
             x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask, valid,
             bias, dmask, g, connectivity, negative_slope, use_edge,
-            block_rows, interpret)
+            block_rows, interpret, compute_dtype=compute_dtype, pre=pre)
         return (dx, dw, das, dad, dme, jnp.zeros_like(eattr),
                 jnp.zeros_like(nbr_mask), jnp.zeros_like(valid), db,
                 dmask_ct)
+
+    # XLA-vjp fallback recomputes in f32 regardless of the forward's
+    # stream dtype (bf16 rounding treated as identity)
+    g = g.astype(jnp.float32)
 
     def ref(x_, w_, as_, ad_, me_, b_):
         return _reference_forward(

@@ -61,9 +61,15 @@ def _train_step_device_time(base, valid, num_edges):
     from bathymetric_gnn_tpu.models.grid_batched import BatchedGridGNN
     from bathymetric_gnn_tpu.training import losses as L
 
+    # flagship TPU training mode mirrors the forward headline: bf16 kernel
+    # I/O + bf16 backward-kernel matmul inputs (f32 softmax recompute,
+    # f32 master weights in optax; grad parity vs f32/torch in
+    # tests/test_pallas_fused.py and tests/test_model.py::TestMaskedBNLowp)
+    on_tpu = jax.default_backend() == "tpu"
     model = BatchedGridGNN(hidden_channels=64, num_layers=LAYERS, heads=4,
-                           dropout=0.1,
-                           use_pallas=jax.default_backend() == "tpu")
+                           dropout=0.1, use_pallas=on_tpu,
+                           compute_dtype="bfloat16" if on_tpu
+                           else "float32")
     rng = np.random.default_rng(0)
     noisy = base + rng.normal(0, 0.1, base.shape).astype(np.float32)
     labels = (rng.random(base.shape) < 0.2).astype(np.int32) * 2

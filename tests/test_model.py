@@ -113,3 +113,67 @@ class TestGradientFlow:
             jnp.sqrt(sum(jnp.sum(x ** 2) for x in flat))
         )
         assert total_norm > 1e-6
+
+
+class TestMaskedBNLowp:
+    """The bf16 custom-VJP BatchNorm path (models/layers._bn_lowp) must
+    match the f32 autodiff formulation: same normalize, same moments, and
+    the hand-written single-pass backward must equal autodiff gradients
+    (reference torch semantics: BatchNorm1d training mode, grad flows
+    through batch moments)."""
+
+    def _setup(self, seed=0, n=512, f=64, mean_shift=5.0):
+        from bathymetric_gnn_tpu.models.layers import MaskedBatchNorm
+
+        rng = np.random.default_rng(seed)
+        x = (rng.normal(mean_shift, 2.0, (n, f))).astype(np.float32)
+        mask = rng.random(n) < 0.8
+        mask[:4] = True
+        bn = MaskedBatchNorm(features=f)
+        v = bn.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                    jnp.asarray(mask))
+        return bn, v, x, mask
+
+    def test_forward_and_moments_match_f32(self):
+        bn, v, x, mask = self._setup()
+        y32, st32 = bn.apply(v, jnp.asarray(x), jnp.asarray(mask),
+                             mutable=["batch_stats"])
+        y16, st16 = bn.apply(v, jnp.asarray(x, jnp.bfloat16),
+                             jnp.asarray(mask), mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y16, np.float32),
+                                   np.asarray(y32), atol=0.08)
+        for k in ("mean", "var"):
+            a = np.asarray(
+                jax.tree_util.tree_leaves(st16["batch_stats"])[0])
+        m32 = np.asarray(st32["batch_stats"]["MaskedBatchNorm_0"]["mean"]
+                         if "MaskedBatchNorm_0" in st32["batch_stats"]
+                         else st32["batch_stats"]["mean"])
+        m16 = np.asarray(st16["batch_stats"]["MaskedBatchNorm_0"]["mean"]
+                         if "MaskedBatchNorm_0" in st16["batch_stats"]
+                         else st16["batch_stats"]["mean"])
+        np.testing.assert_allclose(m16, m32, rtol=2e-2, atol=2e-2)
+
+    def test_grad_matches_autodiff(self):
+        bn, v, x, mask = self._setup(seed=1)
+        w = np.asarray(
+            np.random.default_rng(9).normal(0, 1, x.shape), np.float32)
+
+        def loss(params, xin):
+            y = bn.apply({"params": params,
+                          "batch_stats": v["batch_stats"]}, xin,
+                         jnp.asarray(mask), mutable=["batch_stats"])[0]
+            return jnp.sum(y.astype(jnp.float32) * w)
+
+        g32 = jax.grad(loss, argnums=(0, 1))(
+            v["params"], jnp.asarray(x))
+        g16 = jax.grad(loss, argnums=(0, 1))(
+            v["params"], jnp.asarray(x, jnp.bfloat16))
+        dx32 = np.asarray(g32[1])
+        dx16 = np.asarray(g16[1], np.float32)
+        scale_ref = np.abs(dx32).max() + 1e-9
+        assert np.abs(dx16 - dx32).max() / scale_ref < 0.05
+        for k in g32[0]:
+            a32, a16 = np.asarray(g32[0][k]), np.asarray(g16[0][k])
+            np.testing.assert_allclose(
+                a16, a32, rtol=3e-2,
+                atol=3e-2 * (np.abs(a32).max() + 1e-9))
