@@ -105,7 +105,8 @@ class GATConvELL(nn.Module):
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros,
                            (h * c if self.concat else c,))
-            out = out + b
+            # keep the producer's stream dtype (bf16 stays bf16 end to end)
+            out = out + b.astype(out.dtype)
         return jnp.where(g.node_mask[:, None], out, 0.0)
 
 
@@ -157,8 +158,16 @@ class GATConvEllBanded(nn.Module):
         h, c = self.heads, self.out_channels
         n, k = g.nbr_src.shape
 
+        # compute_dtype=bfloat16: the projection runs on the MXU with bf16
+        # inputs (f32 passes cost ~4x) and the layer's activations stream
+        # through HBM in bf16 end to end — the kernels already run bf16
+        # I/O; keeping xh/bias/output f32 made every surrounding XLA pass
+        # (BN, spill gathers, loss heads) pay doubled traffic (round 4)
+        cd = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
+              else jnp.float32)
         w = self.param("lin_src", _glorot, (x.shape[-1], h * c))
-        xh2 = x @ w                        # [N, HC] flat (lane-clean)
+        xh2 = jnp.dot(x.astype(cd), w.astype(cd),
+                      preferred_element_type=cd)  # [N, HC] flat (lane-clean)
         xh = xh2.reshape(n, h, c)
 
         att_src = self.param("att_src", _glorot, (1, h, c))
@@ -257,7 +266,8 @@ class GATConvEllBanded(nn.Module):
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros,
                            (h * c if self.concat else c,))
-            out = out + b
+            # keep the producer's stream dtype (bf16 stays bf16 end to end)
+            out = out + b.astype(out.dtype)
         return jnp.where(g.node_mask[:, None], out, 0.0)
 
 

@@ -86,12 +86,16 @@ class EllGNNBackbone(nn.Module):
                 width = self.hidden_channels
             else:
                 raise ValueError(self.gnn_type)
+            # relu + feature dropout fold into the norm's fused pass
+            # (on the bf16 fast path this saves a [N, F] read+write round
+            # trip per layer — same as the grid models)
+            do_drop = (not last and self.dropout > 0 and not deterministic)
             x = MaskedBatchNorm(width, axis_name=self.bn_axis_name,
                                 name=f"MaskedBatchNorm_{i}")(
-                x, g.node_mask, use_running_average)
-            if not last:
-                x = nn.relu(x)
-                x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+                x, g.node_mask, use_running_average,
+                fuse_relu=not last,
+                drop_rate=self.dropout if do_drop else 0.0,
+                drop_rng=self.make_rng("dropout") if do_drop else None)
         return x
 
 

@@ -254,6 +254,7 @@ def _kernel_v2(
     has_self: bool,
     upcast_dots: bool,
     has_dropout: bool,
+    lowp: bool = False,
 ):
     """Round-3 kernel: spill edges fold IN-KERNEL (VERDICT r2 item 3).
 
@@ -358,9 +359,17 @@ def _kernel_v2(
                                   (((0,), (0,)), ((), ())),
                                   preferred_element_type=f32)   # [R, HC]
         y = y + expand_heads(ek) * g_x
-    # spill messages: [R, S] @ ([S, HC] weighted) — MXU, no scatter
+    # spill messages: [R, S] @ ([S, HC] weighted) — MXU, no scatter.
+    # lowp: bf16 inputs + f32 accumulation (one MXU pass instead of ~4)
+    if lowp and not upcast_dots:
+        spcast = lambda t: t.astype(jnp.bfloat16)
+    elif lowp:
+        spcast = lambda t: t.astype(jnp.bfloat16).astype(f32)
+    else:
+        spcast = lambda t: t
     msg_sp = expand_heads(e_s) * xh_spill[0].astype(f32)        # [S, HC]
-    y = y + jax.lax.dot_general(oh_rs, msg_sp, (((1,), (0,)), ((), ())),
+    y = y + jax.lax.dot_general(spcast(oh_rs), spcast(msg_sp),
+                                (((1,), (0,)), ((), ())),
                                 preferred_element_type=f32)     # [R, HC]
 
     out_ref[:] = (y * expand_heads(1.0 / denom_tot)).astype(out_ref.dtype)
@@ -442,6 +451,7 @@ def _run_fused_v2_forward(statics, xh_flat, a_cat_mat, loc_t, el_t,
         negative_slope=negative_slope, has_self=has_self,
         has_dropout=has_dropout,
         upcast_dots=interpret and compute_dtype == "bfloat16",
+        lowp=compute_dtype == "bfloat16",
     )
     xcd = xh_flat.astype(cd)
     in_specs = [
@@ -477,7 +487,10 @@ def _run_fused_v2_forward(statics, xh_flat, a_cat_mat, loc_t, el_t,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((r, hc), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, hc), jnp.float32),
+        # emit in the stream dtype: a bf16 layer output keeps the whole
+        # inter-layer chain (bias, BN, next projection) in bf16 —
+        # softmax/accumulation inside the kernel stay f32 (round 4)
+        out_shape=jax.ShapeDtypeStruct((n, hc), cd),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -592,10 +605,17 @@ def _bwd_kernel_v2(
     has_self: bool,
     upcast_dots: bool,
     has_dropout: bool,
+    lowp: bool = False,
 ):
     """Backward of _kernel_v2, flash-style: residuals are just the layer
     inputs; the attention softmax (incl. the in-kernel spill fold) is
     recomputed per band, then the kernel emits
+
+    ``lowp`` (compute_dtype=bfloat16): the one-hot scatter dots and the
+    dx/da epilogue matmuls run with bf16 inputs + f32 accumulation — the
+    same contract as the grid backward kernel (f32 MXU passes cost ~4x
+    bf16; softmax recompute and the attention-gradient chains stay f32).
+    ``upcast_dots`` emulates the MXU semantics in CPU interpret mode.
 
       * dxw split into center + two halo partials (dxa/dxb/dxc) — band t
         touches window chunks t-1..t+1, so XLA shift-adds the three
@@ -712,6 +732,12 @@ def _bwd_kernel_v2(
         dmsp = jnp.ones((heads, s_dim), f32)
 
     # ---- gradient math -------------------------------------------------
+    if lowp and not upcast_dots:
+        cast = lambda t: t.astype(jnp.bfloat16)
+    elif lowp:  # interpret emulation: round like the MXU would
+        cast = lambda t: t.astype(jnp.bfloat16).astype(f32)
+    else:
+        cast = lambda t: t
     u = dout[:].astype(f32)                                     # [R, HC]
     dy = u * expand_heads(inv_d)                                # [R, HC]
     xw_f32 = xw.astype(f32)
@@ -733,7 +759,8 @@ def _bwd_kernel_v2(
         b_self = contract_heads(dy * xw_b32)                    # [H, R]
         sum_eA = sum_eA + e_self * dms * b_self
     # spill pieces
-    dM = jax.lax.dot_general(oh_rs, dy, (((0,), (0,)), ((), ())),
+    dM = jax.lax.dot_general(cast(oh_rs), cast(dy),
+                             (((0,), (0,)), ((), ())),
                              preferred_element_type=f32)        # [S, HC]
     c_s = contract_heads(dM * xh_sp)                            # hmm: [H, S]
     sc_sp = jax.lax.dot_general(e_s * dmsp * c_s, oh_rs,
@@ -759,7 +786,8 @@ def _bwd_kernel_v2(
             preferred_element_type=f32)                         # [H, W]
         dgx_k = expand_heads(exps[k] * dmk[k]) * dy             # [R, HC]
         dxw = dxw + jax.lax.dot_general(
-            onehots_t[k].astype(f32), dgx_k, (((1,), (0,)), ((), ())),
+            cast(onehots_t[k].astype(f32)), cast(dgx_k),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=f32)                         # [W, HC]
 
     zeros_hr = jnp.zeros((heads, R), f32)
@@ -785,8 +813,11 @@ def _bwd_kernel_v2(
 
     # attention-dot backward: dxw += a_mat @ dac; da_mat partial
     dxw = dxw + jax.lax.dot_general(
-        dac, a_mat.astype(f32), (((0,), (1,)), ((), ())),
+        cast(dac), cast(a_mat.astype(f32)), (((0,), (1,)), ((), ())),
         preferred_element_type=f32)                             # [W, HC]
+    # (da_mat stays f32: a tiny [HC, W]x[W, 2H] dot, but its cross-band
+    # accumulation is cancellation-prone — bf16 inputs cost 6% rel-L2 on
+    # the attention-dot grads for no measurable speed win)
     da_mat_part = jax.lax.dot_general(
         xw_f32, dac, (((0,), (1,)), ((), ())),
         preferred_element_type=f32)                             # [HC, 2H]
@@ -846,6 +877,7 @@ def _run_fused_v2_bwd(statics, res, g):
         negative_slope=negative_slope, has_self=has_self,
         has_dropout=has_dropout,
         upcast_dots=interpret and compute_dtype == "bfloat16",
+        lowp=compute_dtype == "bfloat16",
     )
     xcd = xh_flat.astype(cd)
     in_specs = [
@@ -877,7 +909,10 @@ def _run_fused_v2_bwd(statics, res, g):
         args.extend([dmask_t, dmask_sp_b])
     in_specs.append(pl.BlockSpec((r, hc), lambda t: (t, 0),
                                  memory_space=pltpu.VMEM))
-    args.append(g.astype(jnp.float32))
+    # stream the output cotangent in compute dtype — the kernel upcasts
+    # to f32 internally; upcasting HERE materialized an extra [N, HC] f32
+    # copy per layer in bf16 mode (same finding as the grid path, r4)
+    args.append(g.astype(cd))
 
     f32 = jnp.float32
     out_specs = (
@@ -895,9 +930,14 @@ def _run_fused_v2_bwd(statics, res, g):
                      memory_space=pltpu.VMEM),
     )
     out_shape = (
-        jax.ShapeDtypeStruct((n, hc), f32),            # dxa (halo t-1)
-        jax.ShapeDtypeStruct((n, hc), f32),            # dxb (center)
-        jax.ShapeDtypeStruct((n, hc), f32),            # dxc (halo t+1)
+        # the three dxw streams are the bwd's biggest HBM writes
+        # (3x [N, HC] + the shift-combine reads); emitting them in the
+        # stream dtype halves that traffic in bf16 mode — each is a
+        # partial sum of distinct contributions, so bf16 rounding here
+        # matches the mixed-precision contract of the rest of the path
+        jax.ShapeDtypeStruct((n, hc), cd),             # dxa (halo t-1)
+        jax.ShapeDtypeStruct((n, hc), cd),             # dxb (center)
+        jax.ShapeDtypeStruct((n, hc), cd),             # dxc (halo t+1)
         jax.ShapeDtypeStruct((k * heads, n), f32),     # del_t
         jax.ShapeDtypeStruct((heads, n), f32),         # del_self_t
         jax.ShapeDtypeStruct((t_count, heads, s_max), f32),   # dl_spill
@@ -917,7 +957,7 @@ def _run_fused_v2_bwd(statics, res, g):
             interpret=interpret,
         )(*args)
     )
-    zero_rhc = jnp.zeros((r, hc), f32)
+    zero_rhc = jnp.zeros((r, hc), cd)
     # band t's dxa belongs to chunk t-1 and dxc to chunk t+1; block 0 of
     # dxa / block T-1 of dxc are exact zeros (clamped windows have no
     # in-band slots there) and drop out of the shifts

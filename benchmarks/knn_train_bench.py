@@ -98,9 +98,15 @@ def main():
                "backend": jax.default_backend(), "dropout": 0.1}
 
     def build(kernel):
+        # flagship TPU training mode: bf16 kernel I/O + bf16 activation
+        # streams (f32 softmax/accumulation in-kernel, f32 master weights
+        # in optax) — same contract as the grid train headline (bench.py)
+        on_tpu = jax.default_backend() == "tpu"
+        cd = ("bfloat16" if on_tpu and kernel == "banded_pallas"
+              else "float32")
         model = EllBathymetricGNN(hidden_channels=64, num_layers=4,
                                   heads=4, dropout=0.1,
-                                  sparse_kernel=kernel)
+                                  sparse_kernel=kernel, compute_dtype=cd)
         kw = dict(banded=banded) if kernel != "xla" else {}
         variables = model.init(jax.random.PRNGKey(0), g, **kw)
 
