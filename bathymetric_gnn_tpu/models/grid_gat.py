@@ -111,16 +111,28 @@ class GridGATConv(nn.Module):
         # inference path.
         pallas_ok = self.use_pallas and self.edge_dim is not None
         if pallas_ok:
-            dmask = None
+            dmask = drop_seed = None
             if not deterministic and self.dropout > 0:
                 rng = self.make_rng("dropout")
-                keep = jax.random.bernoulli(
-                    rng, 1.0 - self.dropout,
-                    (k + 1, hds, hgt, wid))
-                dmask = keep.astype(jnp.float32) / (1.0 - self.dropout)
+                from ..ops.pallas.grid_gat_fused import _resolve_block_rows
+                rng_ok = (jax.default_backend() == "tpu"
+                          and _resolve_block_rows(hgt, 16, wid)[1])
+                if rng_ok:
+                    # in-kernel rng dropout (round 4): fwd/bwd regenerate
+                    # the identical draw from this seed per global row —
+                    # no [K+1, heads, H, W] mask is generated or streamed.
+                    # CPU/interpret and ragged tiles keep the streamed
+                    # mask so parity tests can pin the draw.
+                    drop_seed = jax.lax.bitcast_convert_type(
+                        jax.random.bits(rng, (2,), jnp.uint32), jnp.int32)
+                else:
+                    keep = jax.random.bernoulli(
+                        rng, 1.0 - self.dropout,
+                        (k + 1, hds, hgt, wid))
+                    dmask = keep.astype(jnp.float32) / (1.0 - self.dropout)
             return self._pallas_path(x, valid, nbr_mask, edge_attr,
                                      bn_scale, bn_bias, fuse_relu,
-                                     dmask=dmask)
+                                     dmask=dmask, drop_seed=drop_seed)
         assert bn_scale is None, "epilogue fusion requires the pallas path"
 
         w = self.param("lin_src", _glorot, (x.shape[-1], hds * c))
@@ -202,7 +214,7 @@ class GridGATConv(nn.Module):
 
     def _pallas_path(self, x, valid, nbr_mask, edge_attr,
                      bn_scale=None, bn_bias=None, fuse_relu=False,
-                     dmask=None):
+                     dmask=None, drop_seed=None):
         """Fused single-kernel layer (ops/pallas/grid_gat_fused)."""
         from ..ops.pallas.grid_gat_fused import (fused_grid_gat,
                                                  fused_grid_gat_infer,
@@ -239,7 +251,9 @@ class GridGATConv(nn.Module):
                                         bn_bias=bn_bias,
                                         fuse_relu=fuse_relu,
                                         compute_dtype=cd)
-        out = fused_grid_gat(*args, cd)
+        out = fused_grid_gat(*args, cd, drop_seed,
+                             1.0 - self.dropout if drop_seed is not None
+                             else 1.0)
         if not direct:
             hgt, wid = x.shape[:2]
             out = out.reshape(hgt, wid, hds, c).mean(2)

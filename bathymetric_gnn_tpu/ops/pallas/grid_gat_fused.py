@@ -55,6 +55,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -89,6 +90,32 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _gen_drop_mults(seed_ref, row0, nrows, nkh, w, keep_prob):
+    """In-kernel attention-dropout multipliers [nrows, nkh, w] (f32).
+
+    One `pltpu.prng_seed(seed0, seed1, global_row)` + one
+    `prng_random_bits((nkh, w))` per GLOBAL row: the stream is a pure
+    function of (seed, row), so the forward kernel (rows [iR, iR+R)) and
+    the backward kernel (halo-extended rows [iR-1, iR+R]) regenerate the
+    IDENTICAL draw for any row — no [K+1, heads, H, W] mask tensor is
+    generated, written, or streamed at all (~0.4 ms/step at 256², round
+    4). Out-of-range rows (-1, H) produce arbitrary-but-finite values;
+    the backward multiplies them only into zero-context terms (zero
+    cotangent/NEG logits), exactly like the streamed path's OOB ones.
+    Not available in interpret mode (no prng lowering on CPU) — the
+    streamed-mask path remains for parity tests and CPU runs.
+    """
+    thresh = np.uint32(min(2 ** 32 - 1,
+                           int(round((1.0 - keep_prob) * 2 ** 32))))
+    inv = np.float32(1.0 / keep_prob)
+    rows = []
+    for j in range(nrows):
+        pltpu.prng_seed(seed_ref[0], seed_ref[1], row0 + j)
+        bits = pltpu.prng_random_bits((nkh, w))
+        rows.append(jnp.where(bits >= thresh, inv, 0.0))
+    return jnp.stack(rows, axis=0)
+
+
 def _kernel(
     x_blk,        # [1, R, W, F] block (exact tiling of x)
     halo_top,     # [1, 1, W, F] block — grid row i*R - 1 (zeros at i=0)
@@ -110,11 +137,15 @@ def _kernel(
     fuse_relu: bool,
     has_dropout: bool = False,
     upcast_dots: bool = False,
+    rng_drop: bool = False,
+    keep_prob: float = 1.0,
 ):
-    if has_dropout:
+    dmask = seed_ref = None
+    if rng_drop:
+        seed_ref, bias, bn_scale, bn_bias, out_ref = rest
+    elif has_dropout:
         dmask, bias, bn_scale, bn_bias, out_ref = rest
     else:
-        dmask = None
         bias, bn_scale, bn_bias, out_ref = rest
     HC = heads * C
     nk = len(offsets)
@@ -153,6 +184,12 @@ def _kernel(
     def leaky(v):
         return jnp.where(v >= 0, v, negative_slope * v)
 
+    if rng_drop:
+        # regenerate the per-row dropout draw in-kernel (see
+        # _gen_drop_mults) instead of streaming a [K+1, heads, H, W] mask
+        dm_all = _gen_drop_mults(seed_ref, pl.program_id(0) * R, R,
+                                 (nk + 1) * heads, W, keep_prob)
+
     # per (offset, head) logits; missing neighbors arrive premasked at ~NEG
     # via el (LeakyReLU keeps them at 0.2*NEG, which exp() flushes to 0)
     wts = [[None] * heads for _ in range(nk)]   # softmax weights [R, W]
@@ -180,7 +217,11 @@ def _kernel(
         w_self[h] = e_self * inv
         for k in range(nk):
             wts[k][h] = exps[k] * inv
-        if has_dropout:
+        if rng_drop:
+            w_self[h] = w_self[h] * dm_all[:, nk * heads + h, :]
+            for k in range(nk):
+                wts[k][h] = wts[k][h] * dm_all[:, k * heads + h, :]
+        elif has_dropout:
             dm = dmask[:]
             w_self[h] = w_self[h] * dm[nk, h].astype(jnp.float32)
             for k in range(nk):
@@ -281,11 +322,12 @@ def _reference_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(10, 11, 12, 13, 14, 15))
+                   nondiff_argnums=(10, 11, 12, 13, 14, 15, 17))
 def fused_grid_gat(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
                    valid, bias, dmask, connectivity, negative_slope,
                    use_edge, block_rows, interpret,
-                   compute_dtype=jnp.float32):
+                   compute_dtype=jnp.float32, drop_seed=None,
+                   keep_prob=1.0):
     """Fused GAT layer: returns [H, W, heads*C] (pre-BatchNorm, pre-concat
     semantics already applied — caller reshapes/means heads).
 
@@ -301,7 +343,8 @@ def fused_grid_gat(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
     return _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
                           nbr_mask, valid, bias, connectivity,
                           negative_slope, use_edge, block_rows, interpret,
-                          dmask=dmask, compute_dtype=compute_dtype)
+                          dmask=dmask, compute_dtype=compute_dtype,
+                          drop_seed=drop_seed, keep_prob=keep_prob)
 
 
 def fused_grid_gat_infer(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
@@ -369,7 +412,7 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
                    valid, bias, connectivity, negative_slope, use_edge,
                    block_rows, interpret, bn_scale=None, bn_bias=None,
                    fuse_relu=False, compute_dtype=jnp.float32, dmask=None,
-                   pre=None):
+                   pre=None, drop_seed=None, keep_prob=1.0):
     offsets = _offsets(connectivity)
     hgt, wid, f_in = x.shape
     heads = a_src_mat.shape[1]
@@ -382,6 +425,9 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
     if not tiles_ok:  # ragged/small tiles: XLA formulation
         # fall back to the XLA formulation for odd shapes; in low precision,
         # emulate the kernel's rounding (bf16 inputs, f32 accumulation)
+        assert drop_seed is None, (
+            "in-kernel rng dropout requires the fused-kernel shape rules; "
+            "callers must use the streamed dmask on ragged tiles")
         if lowp:
             x = x.astype(compute_dtype).astype(jnp.float32)
             w_lin = w_lin.astype(compute_dtype).astype(jnp.float32)
@@ -415,11 +461,15 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
     if interpret is None:
         interpret = _interpret_default()
     has_dropout = dmask is not None
+    rng_drop = drop_seed is not None
+    assert not (has_dropout and rng_drop), \
+        "streamed dmask and in-kernel rng dropout are mutually exclusive"
     kern = functools.partial(
         _kernel, offsets=offsets, R=r, W=wid, heads=heads, C=c,
         negative_slope=negative_slope, fuse_bn=fuse_bn, fuse_relu=fuse_relu,
         has_dropout=has_dropout,
         upcast_dots=bool(interpret) and lowp,
+        rng_drop=rng_drop, keep_prob=float(keep_prob),
     )
     sc2 = (bn_scale if fuse_bn else jnp.ones(hc)).reshape(1, hc)
     bi2 = (bn_bias if fuse_bn else jnp.zeros(hc)).reshape(1, hc)
@@ -429,6 +479,9 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
                                  lambda i: (0, 0, i, 0),
                                  memory_space=pltpu.VMEM)]
         dm_args = [dmask.astype(compute_dtype)]
+    elif rng_drop:
+        dm_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        dm_args = [drop_seed.astype(jnp.int32)]
     return pl.pallas_call(
         kern,
         grid=(nb,),
@@ -497,6 +550,8 @@ def _bwd_kernel(
     has_dropout: bool,
     upcast_dots: bool = False,
     lowp: bool = False,
+    rng_drop: bool = False,
+    keep_prob: float = 1.0,
 ):
     """Backward of the fused layer for one row block.
 
@@ -515,11 +570,13 @@ def _bwd_kernel(
     bf16-in/f32-acc semantics on CPU interpret mode by rounding operands
     to bf16 and upcasting.
     """
-    if has_dropout:
+    dmask = dm_top = dm_bot = seed_ref = None
+    if rng_drop:
+        seed_ref, dx_ref, dw_ref, dwa_ref, dme_ref, db_ref = rest
+    elif has_dropout:
         (dmask, dm_top, dm_bot, dx_ref, dw_ref, dwa_ref, dme_ref,
          db_ref) = rest
     else:
-        dmask = dm_top = dm_bot = None
         dx_ref, dw_ref, dwa_ref, dme_ref, db_ref = rest
 
     HC = heads * C
@@ -584,7 +641,16 @@ def _bwd_kernel(
         for k in range(nk):
             wts[k][h] = exps[k] * inv
 
+    if rng_drop:
+        # regenerate the identical per-row draw as the forward kernel,
+        # extended one halo row each side (rows iR-1 .. iR+R); OOB rows
+        # (-1, H) multiply only zero-context terms — any finite value ok
+        dm_all_b = _gen_drop_mults(seed_ref, pl.program_id(0) * R - 1,
+                                   R + 2, (nk + 1) * heads, W, keep_prob)
+
     def dm_at(k, h):                  # dropout multiplier on [Rh, W]
+        if rng_drop:
+            return dm_all_b[:, k * heads + h, :]
         return jnp.concatenate(
             [dm_top[0, k, h][None], dmask[k, h], dm_bot[0, k, h][None]], 0
         ).astype(jnp.float32)
@@ -607,7 +673,7 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32).reshape(rows, W, HC)
 
     dws_self = collapse_heads(xh_e[1:R + 3] * g_eff)     # [heads, Rh, W]
-    if has_dropout:
+    if has_dropout or rng_drop:
         dws_self_m = [dws_self[h] * dm_at(nk, h) for h in range(heads)]
     else:
         dws_self_m = [dws_self[h] for h in range(heads)]
@@ -615,7 +681,7 @@ def _bwd_kernel(
     for k, (dr, dc) in enumerate(offsets):
         xh_n = pltpu.roll(xh_e[1 + dr:1 + dr + Rh], (-dc) % W, 1)
         ck = collapse_heads(xh_n * g_eff)
-        if has_dropout:
+        if has_dropout or rng_drop:
             dwk.append([ck[h] * dm_at(k, h) for h in range(heads)])
         else:
             dwk.append([ck[h] for h in range(heads)])
@@ -667,14 +733,14 @@ def _bwd_kernel(
     d_ad_st = jnp.stack(d_ad_list, 0).reshape(2 * heads, R * W)
 
     # ---- d(xh) from the aggregation (center rows) ----
-    if has_dropout:
+    if has_dropout or rng_drop:
         w_self_eff = [w_self[h] * dm_at(nk, h) for h in range(heads)]
     else:
         w_self_eff = w_self
     dxh = expand_heads([w_self_eff[h][1:R + 1] for h in range(heads)],
                        R) * g_eff[1:R + 1]
     for k, (dr, dc) in enumerate(offsets):
-        if has_dropout:
+        if has_dropout or rng_drop:
             wk_eff = [wts[k][h] * dm_at(k, h) for h in range(heads)]
         else:
             wk_eff = wts[k]
@@ -716,7 +782,8 @@ def _bwd_kernel(
 def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
                     valid, bias, dmask, g, connectivity, negative_slope,
                     use_edge, block_rows, interpret,
-                    compute_dtype=jnp.float32, pre=None):
+                    compute_dtype=jnp.float32, pre=None, drop_seed=None,
+                    keep_prob=1.0):
     """Pallas backward: returns (dx, dw_lin, da_src_mat, da_dst_mat,
     dm_edge, dbias). Caller guarantees the shape tiles (same rule as the
     forward kernel).
@@ -783,7 +850,11 @@ def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
     v_bot = jnp.concatenate([valid_f[r::r][:, None], zv], 0)
 
     has_dropout = dmask is not None
+    rng_drop = drop_seed is not None
     dm_args, dm_specs = [], []
+    if rng_drop:
+        dm_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        dm_args = [drop_seed.astype(jnp.int32)]
     if has_dropout:
         dm32 = dmask.astype(cd)
         onerow = jnp.ones((1, k + 1, heads, wid), cd)
@@ -808,6 +879,7 @@ def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
         _bwd_kernel, offsets=offsets, R=r, W=wid, heads=heads, C=c, ED=ed,
         negative_slope=negative_slope, has_dropout=has_dropout,
         upcast_dots=bool(interpret) and lowp, lowp=lowp,
+        rng_drop=rng_drop, keep_prob=float(keep_prob),
     )
     dx, dw_p, dwa_p, dme_p, db_p = pl.pallas_call(
         kern,
@@ -895,7 +967,8 @@ def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
 
 def _fwd(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask, valid,
          bias, dmask, connectivity, negative_slope, use_edge, block_rows,
-         interpret, compute_dtype=jnp.float32):
+         interpret, compute_dtype=jnp.float32, drop_seed=None,
+         keep_prob=1.0):
     hgt, wid = x.shape[0], x.shape[1]
     _, tiles_ok = _resolve_block_rows(hgt, block_rows, wid)
     pre = None
@@ -909,19 +982,22 @@ def _fwd(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask, valid,
     out = _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr,
                          nbr_mask, valid, bias, connectivity,
                          negative_slope, use_edge, block_rows, interpret,
-                         dmask=dmask, compute_dtype=compute_dtype, pre=pre)
+                         dmask=dmask, compute_dtype=compute_dtype, pre=pre,
+                         drop_seed=drop_seed, keep_prob=keep_prob)
     return out, (x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
-                 valid, bias, dmask, pre)
+                 valid, bias, dmask, pre, drop_seed)
 
 
 def _bwd(connectivity, negative_slope, use_edge, block_rows, interpret,
-         compute_dtype, residuals, g):
+         compute_dtype, keep_prob, residuals, g):
     (x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask, valid, bias,
-     dmask, pre) = residuals
+     dmask, pre, drop_seed) = residuals
     offsets = _offsets(connectivity)
     hgt, wid = x.shape[0], x.shape[1]
     _, tiles_ok = _resolve_block_rows(hgt, block_rows, wid)
     dmask_ct = None if dmask is None else jnp.zeros_like(dmask)
+    seed_ct = (None if drop_seed is None
+               else np.zeros(drop_seed.shape, jax.dtypes.float0))
 
     # `use_edge` gates the bwd kernel only (it assumes the edge-logit
     # path); when False, forward may run Pallas while backward takes the
@@ -934,10 +1010,11 @@ def _bwd(connectivity, negative_slope, use_edge, block_rows, interpret,
         dx, dw, das, dad, dme, db = _fused_backward(
             x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask, valid,
             bias, dmask, g, connectivity, negative_slope, use_edge,
-            block_rows, interpret, compute_dtype=compute_dtype, pre=pre)
+            block_rows, interpret, compute_dtype=compute_dtype, pre=pre,
+            drop_seed=drop_seed, keep_prob=keep_prob)
         return (dx, dw, das, dad, dme, jnp.zeros_like(eattr),
                 jnp.zeros_like(nbr_mask), jnp.zeros_like(valid), db,
-                dmask_ct)
+                dmask_ct, seed_ct)
 
     # XLA-vjp fallback recomputes in f32 regardless of the forward's
     # stream dtype (bf16 rounding treated as identity)
@@ -952,7 +1029,8 @@ def _bwd(connectivity, negative_slope, use_edge, block_rows, interpret,
     _, vjp = jax.vjp(ref, x, w_lin, a_src_mat, a_dst_mat, m_edge, bias)
     dx, dw, das, dad, dme, db = vjp(g)
     return (dx, dw, das, dad, dme, jnp.zeros_like(eattr),
-            jnp.zeros_like(nbr_mask), jnp.zeros_like(valid), db, dmask_ct)
+            jnp.zeros_like(nbr_mask), jnp.zeros_like(valid), db, dmask_ct,
+            seed_ct)
 
 
 fused_grid_gat.defvjp(_fwd, _bwd)
