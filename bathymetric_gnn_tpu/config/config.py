@@ -149,6 +149,14 @@ class SyntheticNoiseConfig:
 class InferenceConfig:
     """Deployment thresholds (reference: config/config.py:105-116)."""
 
+    # 0.85 mirrors the reference's conservative default
+    # (reference: scripts/inference_native.py:488-496). The round-4
+    # VR round-trip threshold sweep (benchmarks/RESULTS.md) measured the
+    # confidence HEAD ranking spikes well while absolute calibration
+    # concentrates below 0.85: on that gate 0.6 delivered 51% RMSE
+    # reduction / 0.91 spike recall at a 1.8% false-correction rate
+    # where 0.85 corrected almost nothing. Consider 0.6 after checking
+    # calibration on your own surveys (`evaluate-model` reports it).
     auto_correct_threshold: float = 0.85
     review_threshold: float = 0.6
     batch_node_budget: int = 50000

@@ -90,30 +90,56 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _gen_drop_mults(seed_ref, row0, nrows, nkh, w, keep_prob):
-    """In-kernel attention-dropout multipliers [nrows, nkh, w] (f32).
+def _seed_tile(drop_seed):
+    """Embed the (2,) int32 seed into an (8, 128) i32 tile at [0, :2]
+    (see the vmap note at the rng_drop BlockSpecs)."""
+    return jnp.zeros((8, 128), jnp.int32).at[0, :2].set(
+        drop_seed.astype(jnp.int32))
 
-    One `pltpu.prng_seed(seed0, seed1, global_row)` + one
-    `prng_random_bits((nkh, w))` per GLOBAL row: the stream is a pure
-    function of (seed, row), so the forward kernel (rows [iR, iR+R)) and
-    the backward kernel (halo-extended rows [iR-1, iR+R]) regenerate the
-    IDENTICAL draw for any row — no [K+1, heads, H, W] mask tensor is
-    generated, written, or streamed at all (~0.4 ms/step at 256², round
-    4). Out-of-range rows (-1, H) produce arbitrary-but-finite values;
-    the backward multiplies them only into zero-context terms (zero
-    cotangent/NEG logits), exactly like the streamed path's OOB ones.
-    Not available in interpret mode (no prng lowering on CPU) — the
-    streamed-mask path remains for parity tests and CPU runs.
+
+def _gen_drop_block(seed_ref, block, rblk, nkh, w, keep_prob):
+    """One row-BLOCK of in-kernel attention-dropout multipliers
+    [rblk, nkh, w] (f32) — the draw is a pure function of
+    (seed, block index), one `prng_seed` + one `prng_random_bits` per
+    block (per-ROW reseeding measured ~15 us/kernel of serial VPU
+    overhead; bits themselves are vector-parallel and ~free).
+
+    Mosaic caps prng_seed at 2 scalars, so the block index folds into
+    the second word (blocks are distinct within a layer; layers draw
+    independent seed pairs). prng_random_bits yields SIGNED int32 —
+    compare in the uint32 domain or the threshold is wildly wrong
+    (measured 0.70 realized drop at p=0.2 before the bitcast).
     """
     thresh = np.uint32(min(2 ** 32 - 1,
                            int(round((1.0 - keep_prob) * 2 ** 32))))
     inv = np.float32(1.0 / keep_prob)
-    rows = []
-    for j in range(nrows):
-        pltpu.prng_seed(seed_ref[0], seed_ref[1], row0 + j)
-        bits = pltpu.prng_random_bits((nkh, w))
-        rows.append(jnp.where(bits >= thresh, inv, 0.0))
-    return jnp.stack(rows, axis=0)
+    pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1] + block)
+    bits = jax.lax.bitcast_convert_type(
+        pltpu.prng_random_bits((rblk * nkh, w)), jnp.uint32)
+    return jnp.where(bits >= thresh, inv, 0.0).reshape(rblk, nkh, w)
+
+
+def _gen_drop_mults(seed_ref, block, rblk, nkh, w, keep_prob,
+                    halo: bool = False):
+    """In-kernel attention-dropout multipliers for the forward
+    ([rblk, nkh, w], rows [i*R, i*R+R)) or the backward
+    (halo=True: [rblk+2, nkh, w], rows [i*R-1, i*R+R]) of row-block
+    ``block``. The backward regenerates the neighbor blocks' streams and
+    slices their edge rows, so fwd/bwd see the IDENTICAL draw per global
+    row — no [K+1, heads, H, W] mask tensor is generated, written, or
+    streamed. Out-of-range blocks (-1, nb) produce arbitrary-but-finite
+    values; the backward multiplies them only into zero-context terms
+    (zero cotangent / NEG logits), exactly like the streamed path's OOB
+    ones. Not available in interpret mode (no prng lowering on CPU) —
+    the streamed-mask path remains for parity tests and CPU runs."""
+    cur = _gen_drop_block(seed_ref, block, rblk, nkh, w, keep_prob)
+    if not halo:
+        return cur
+    prev = _gen_drop_block(seed_ref, block - 1, rblk, nkh, w,
+                           keep_prob)[rblk - 1:]
+    nxt = _gen_drop_block(seed_ref, block + 1, rblk, nkh, w,
+                          keep_prob)[:1]
+    return jnp.concatenate([prev, cur, nxt], axis=0)
 
 
 def _kernel(
@@ -187,7 +213,7 @@ def _kernel(
     if rng_drop:
         # regenerate the per-row dropout draw in-kernel (see
         # _gen_drop_mults) instead of streaming a [K+1, heads, H, W] mask
-        dm_all = _gen_drop_mults(seed_ref, pl.program_id(0) * R, R,
+        dm_all = _gen_drop_mults(seed_ref, pl.program_id(0), R,
                                  (nk + 1) * heads, W, keep_prob)
 
     # per (offset, head) logits; missing neighbors arrive premasked at ~NEG
@@ -480,8 +506,14 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
                                  memory_space=pltpu.VMEM)]
         dm_args = [dmask.astype(compute_dtype)]
     elif rng_drop:
-        dm_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
-        dm_args = [drop_seed.astype(jnp.int32)]
+        # the seed rides as a tile-shaped VMEM block, not SMEM: vmapped
+        # pallas_calls block SMEM inputs at batch size 1, which Mosaic
+        # rejects ("divisible by 8 and 128") — an (8, 128) i32 tile is
+        # the smallest vmap-legal carrier (found driving the batched
+        # grid trainer, round 4)
+        dm_specs = [pl.BlockSpec((8, 128), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)]
+        dm_args = [_seed_tile(drop_seed)]
     return pl.pallas_call(
         kern,
         grid=(nb,),
@@ -645,8 +677,9 @@ def _bwd_kernel(
         # regenerate the identical per-row draw as the forward kernel,
         # extended one halo row each side (rows iR-1 .. iR+R); OOB rows
         # (-1, H) multiply only zero-context terms — any finite value ok
-        dm_all_b = _gen_drop_mults(seed_ref, pl.program_id(0) * R - 1,
-                                   R + 2, (nk + 1) * heads, W, keep_prob)
+        dm_all_b = _gen_drop_mults(seed_ref, pl.program_id(0),
+                                   R, (nk + 1) * heads, W, keep_prob,
+                                   halo=True)
 
     def dm_at(k, h):                  # dropout multiplier on [Rh, W]
         if rng_drop:
@@ -853,8 +886,9 @@ def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
     rng_drop = drop_seed is not None
     dm_args, dm_specs = [], []
     if rng_drop:
-        dm_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
-        dm_args = [drop_seed.astype(jnp.int32)]
+        dm_specs = [pl.BlockSpec((8, 128), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)]
+        dm_args = [_seed_tile(drop_seed)]
     if has_dropout:
         dm32 = dmask.astype(cd)
         onerow = jnp.ones((1, k + 1, heads, wid), cd)

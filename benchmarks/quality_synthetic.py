@@ -78,7 +78,14 @@ def main():
                                 seed=args.seed,
                                 early_stop_patience=100),
         synthetic_noise=SyntheticNoiseConfig(
-            feature_enabled=not args.no_features),
+            feature_enabled=not args.no_features,
+            # denser than the production default (1-4): the gate's metric
+            # needs enough class-1 support (~3-4% of cells) for feature-F1
+            # to be a trainable, trackable signal — at 1.2% support and
+            # reference-parity class weights (smoothing 0.1 caps the
+            # feature weight at ~2.2x) a 10-epoch model never leaves the
+            # 0-prediction basin (round 4)
+            feature_count_range=(3, 8)),
     )
     train_grids = [make_surface(1000 * args.seed + i)
                    for i in range(args.surfaces)]

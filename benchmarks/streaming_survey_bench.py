@@ -58,18 +58,31 @@ def measure_tunnel_retention(iters=24, mb=8):
     import jax
     import numpy as np
 
+    def vm_rss_bytes():
+        # CURRENT RSS, not ru_maxrss: the r4 60k run proved the monotone
+        # high-water mark is unusable here — after processing, RSS sits
+        # far below the peak, so calibration uploads never registered and
+        # the measured coefficient collapsed to 0.0 (log: coeff 0.0 at
+        # peak 25.67 GB with a predicted 23.5 GB retained). VmRSS sees
+        # retention growth immediately regardless of the historical peak.
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) * 1024
+        return 0
+
     dev = jax.devices()[0]
     chunk = np.empty(mb << 20, np.uint8)
     # distinct contents defeat any dedup/caching in the client
-    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    rss0 = vm_rss_bytes()
     for i in range(iters):
         chunk[:8] = np.frombuffer(np.int64(i).tobytes(), np.uint8)
         a = jax.device_put(chunk, dev)
         a.block_until_ready()
         a.delete()
     gc.collect()
-    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
-    coeff = (rss1 - rss0) * 1024 / (iters * (mb << 20))
+    rss1 = vm_rss_bytes()
+    coeff = (rss1 - rss0) / (iters * (mb << 20))
     return min(max(coeff, 0.0), 1.2)
 
 
