@@ -109,6 +109,13 @@ class TrainingConfig:
     # (reference: training/trainer.py:489) — on this 2-core dev host 1-2
     # is the sweet spot, so the default stays conservative.
     num_workers: int = 0
+    # explicit per-class loss weights (overrides the dataset-estimated
+    # inverse-frequency weights). The default estimator's smoothing (0.1,
+    # reference parity) caps a 1-2%-support class at ~2x weight — too
+    # weak for the feature class to leave the 0-prediction basin; pass
+    # e.g. weights from compute_class_weights(counts, smoothing=0.01)
+    # when training 3-class models with rare features (round 4).
+    class_weights: Optional[Tuple[float, ...]] = None
     seed: int = 0
     # dropout-key PRNG implementation: "auto" uses the TPU-native rbg
     # generator on TPU (threefry mask generation measured 3.5 ms/step on

@@ -178,11 +178,14 @@ class GridTrainer:
         self.jax_rng = make_dropout_key(tc.seed,
                                         getattr(tc, 'rng_impl', 'auto'))
 
-        try:
-            cw = L.compute_class_weights(train_dataset.class_counts())
-        except Exception:
-            logger.exception("class-count estimation failed")
-            cw = np.ones(mc.num_classes, np.float32)
+        if getattr(tc, "class_weights", None) is not None:
+            cw = np.asarray(tc.class_weights, np.float32)
+        else:
+            try:
+                cw = L.compute_class_weights(train_dataset.class_counts())
+            except Exception:
+                logger.exception("class-count estimation failed")
+                cw = np.ones(mc.num_classes, np.float32)
         self.class_weights = jnp.asarray(cw)
         self.huber_delta = 1.0
 

@@ -240,8 +240,12 @@ class Trainer:
 
     def _compute_training_stats(self) -> Tuple[jnp.ndarray, float]:
         try:
+            tc = self.config.training
             counts = self.train_dataset.class_counts()
-            cw = L.compute_class_weights(np.asarray(counts))
+            if getattr(tc, "class_weights", None) is not None:
+                cw = np.asarray(tc.class_weights, np.float32)
+            else:
+                cw = L.compute_class_weights(np.asarray(counts))
             corr = self.train_dataset.sample_normalized_corrections()
             delta = L.compute_correction_delta(np.asarray(corr))
             logger.info("class counts %s -> weights %s; huber delta %.3f",

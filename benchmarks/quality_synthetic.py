@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--no-features", action="store_true",
                     help="disable synthetic class-1 feature injection "
                          "(round-4 default is ON: the gate is 3-class)")
+    ap.add_argument("--weight-smoothing", type=float, default=0.01,
+                    help="class-weight smoothing for the gate (the "
+                         "production default 0.1 caps the ~2%%-support "
+                         "feature class at ~2x weight; 0.01 gives it the "
+                         "gradient share it needs to be learnable)")
     args = ap.parse_args()
 
     import jax
@@ -95,6 +100,17 @@ def main():
                                     seed=args.seed)
     val_ds = SyntheticGridDataset(val_grids, cfg, tile_size=args.tile_size,
                                   overlap=16, seed=1)
+    # rare-class emphasis: estimate counts, weight with the gate's
+    # smoothing (see --weight-smoothing) through the generic
+    # TrainingConfig.class_weights override
+    from bathymetric_gnn_tpu.training import losses as L
+
+    counts = train_ds.class_counts()
+    cw = L.compute_class_weights(np.asarray(counts),
+                                 smoothing=args.weight_smoothing)
+    cfg.training.class_weights = tuple(float(x) for x in cw)
+    print(f"# class counts {list(counts)} -> weights {np.round(cw, 3)}",
+          file=sys.stderr)
     trainer = GridTrainer(cfg, train_ds, val_ds,
                           output_dir="/tmp/quality_ckpt")
     state = trainer.train()
