@@ -177,3 +177,56 @@ class TestMaskedBNLowp:
             np.testing.assert_allclose(
                 a16, a32, rtol=3e-2,
                 atol=3e-2 * (np.abs(a32).max() + 1e-9))
+
+
+class TestBNFusedActivation:
+    """MaskedBatchNorm's fused ReLU + feature dropout must equal the
+    historical external nn.relu + bernoulli-dropout composition on the
+    f32 path (same rng draw)."""
+
+    def test_equals_external_relu_dropout(self):
+        from bathymetric_gnn_tpu.models.layers import MaskedBatchNorm
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(1.0, 2.0, (300, 32)).astype(np.float32))
+        mask = jnp.asarray(rng.random(300) < 0.9)
+        bn = MaskedBatchNorm(32)
+        v = bn.init(jax.random.PRNGKey(0), x, mask)
+        key = jax.random.PRNGKey(7)
+        fused, _ = bn.apply(v, x, mask, mutable=["batch_stats"],
+                            fuse_relu=True, drop_rate=0.25, drop_rng=key)
+        plain, _ = bn.apply(v, x, mask, mutable=["batch_stats"])
+        y = jnp.maximum(plain, 0.0)
+        keep = jax.random.bernoulli(key, 0.75, y.shape)
+        y = jnp.where(keep, y / 0.75, 0.0)
+        y = jnp.where(mask[:, None], y, 0.0)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(y),
+                                   rtol=1e-6, atol=1e-6)
+
+
+class TestClassWeightOverride:
+    """TrainingConfig.class_weights must override the dataset-estimated
+    inverse-frequency weights in the grid trainer (round 4: the rare
+    feature class needs weights beyond the parity estimator's 0.1
+    smoothing cap)."""
+
+    def test_grid_trainer_uses_explicit_weights(self, tmp_path):
+        from bathymetric_gnn_tpu.config.config import (Config, ModelConfig,
+                                                       TrainingConfig)
+        from bathymetric_gnn_tpu.training.grid_trainer import (
+            GridTrainer, SyntheticGridDataset)
+
+        rg = np.random.default_rng(0)
+        yy, xx = np.mgrid[0:128, 0:128].astype(np.float32)
+        grid = (30 + np.sin(xx / 9) + rg.normal(0, .05, xx.shape)
+                ).astype(np.float32)
+        cfg = Config(model=ModelConfig(hidden_channels=8, num_layers=2,
+                                       heads=2),
+                     training=TrainingConfig(
+                         epochs=1, batch_size=2,
+                         class_weights=(0.2, 2.5, 0.3)))
+        ds = SyntheticGridDataset([grid], cfg, tile_size=64, overlap=8,
+                                  seed=0)
+        tr = GridTrainer(cfg, ds, ds, output_dir=str(tmp_path))
+        np.testing.assert_allclose(np.asarray(tr.class_weights),
+                                   [0.2, 2.5, 0.3])
