@@ -99,10 +99,14 @@ def _seed_tile(drop_seed):
 
 def _gen_drop_block(seed_ref, block, rblk, nkh, w, keep_prob):
     """One row-BLOCK of in-kernel attention-dropout multipliers
-    [rblk, nkh, w] (f32) — the draw is a pure function of
+    [nkh, rblk, w] (f32) — the draw is a pure function of
     (seed, block index), one `prng_seed` + one `prng_random_bits` per
     block (per-ROW reseeding measured ~15 us/kernel of serial VPU
     overhead; bits themselves are vector-parallel and ~free).
+
+    Round 5: the layout is (slot*head)-LEADING so the batched softmax
+    chains can consume it as [K+1, heads, rblk, w] with a free leading
+    reshape (the r4 [rblk, nkh, w] layout needed a sublane relayout).
 
     Mosaic caps prng_seed at 2 scalars, so the block index folds into
     the second word (blocks are distinct within a layer; layers draw
@@ -115,15 +119,15 @@ def _gen_drop_block(seed_ref, block, rblk, nkh, w, keep_prob):
     inv = np.float32(1.0 / keep_prob)
     pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1] + block)
     bits = jax.lax.bitcast_convert_type(
-        pltpu.prng_random_bits((rblk * nkh, w)), jnp.uint32)
-    return jnp.where(bits >= thresh, inv, 0.0).reshape(rblk, nkh, w)
+        pltpu.prng_random_bits((nkh * rblk, w)), jnp.uint32)
+    return jnp.where(bits >= thresh, inv, 0.0).reshape(nkh, rblk, w)
 
 
 def _gen_drop_mults(seed_ref, block, rblk, nkh, w, keep_prob,
                     halo: bool = False):
     """In-kernel attention-dropout multipliers for the forward
-    ([rblk, nkh, w], rows [i*R, i*R+R)) or the backward
-    (halo=True: [rblk+2, nkh, w], rows [i*R-1, i*R+R]) of row-block
+    ([nkh, rblk, w], rows [i*R, i*R+R)) or the backward
+    (halo=True: [nkh, rblk+2, w], rows [i*R-1, i*R+R]) of row-block
     ``block``. The backward regenerates the neighbor blocks' streams and
     slices their edge rows, so fwd/bwd see the IDENTICAL draw per global
     row — no [K+1, heads, H, W] mask tensor is generated, written, or
@@ -136,10 +140,10 @@ def _gen_drop_mults(seed_ref, block, rblk, nkh, w, keep_prob,
     if not halo:
         return cur
     prev = _gen_drop_block(seed_ref, block - 1, rblk, nkh, w,
-                           keep_prob)[rblk - 1:]
+                           keep_prob)[:, rblk - 1:]
     nxt = _gen_drop_block(seed_ref, block + 1, rblk, nkh, w,
-                          keep_prob)[:1]
-    return jnp.concatenate([prev, cur, nxt], axis=0)
+                          keep_prob)[:, :1]
+    return jnp.concatenate([prev, cur, nxt], axis=1)
 
 
 def _kernel(
@@ -198,82 +202,71 @@ def _kernel(
     # than the saved VMEM traffic; the loop is ALU/issue-bound, not
     # bandwidth-bound.)
 
-    # attention dots per head as lane-clean [R(+2), W] 2-D arrays: one small
+    # attention dots per head as lane-clean [H, R(+2), W] arrays: one small
     # transpose of the [(R+2)W, 2*heads] matmul output, then major-dim
-    # slices. Everything downstream (logits, softmax) runs on 2-D arrays
+    # slices. Everything downstream (logits, softmax) runs on arrays
     # whose minor dim is W — full lane utilization instead of a padded
     # heads-minor layout.
     adT = ad.T.reshape(2 * heads, R + 2, W)
-    elb = el[:].astype(jnp.float32)
-    els = el_self[:].astype(jnp.float32)
+    elb = el[:].astype(jnp.float32)             # [K, heads, R, W]
+    els = el_self[:].astype(jnp.float32)        # [heads, R, W]
 
     def leaky(v):
         return jnp.where(v >= 0, v, negative_slope * v)
 
+    # ---- batched softmax (round 5): ALL per-(offset, head) chains run as
+    # single ops on [K, H, R, W] / [H, R, W] stacks — the r4 per-pair
+    # [R, W] loops issued ~40 small VPU op chains per block and were
+    # issue-bound, not bandwidth-bound. Only the column rolls stay
+    # per-offset (each offset rolls by a different dc); they batch the
+    # head axis. Missing neighbors arrive premasked at ~NEG via el
+    # (LeakyReLU keeps them at 0.2*NEG, which exp() flushes to 0).
+    a_src_all = adT[:heads]                     # [H, R+2, W]
+    a_dst_all = adT[heads:2 * heads][:, 1:R + 1]   # [H, R, W]
+    self_lg = leaky(a_src_all[:, 1:R + 1] + a_dst_all + els)
+    a_n_all = jnp.stack(
+        [pltpu.roll(a_src_all[:, 1 + dr:1 + dr + R], (-dc) % W, 2)
+         for dr, dc in offsets], axis=0)        # [K, H, R, W]
+    lg_all = leaky(a_n_all + a_dst_all[None] + elb)
+    m = jnp.maximum(jnp.max(lg_all, axis=0), self_lg)   # [H, R, W]
+    e_all = jnp.exp(lg_all - m[None])
+    e_self = jnp.exp(self_lg - m)
+    inv = 1.0 / jnp.maximum(jnp.sum(e_all, axis=0) + e_self, 1e-16)
+    w_self = e_self * inv                       # [H, R, W]
+    wts_all = e_all * inv[None]                 # [K, H, R, W]
     if rng_drop:
         # regenerate the per-row dropout draw in-kernel (see
         # _gen_drop_mults) instead of streaming a [K+1, heads, H, W] mask
-        dm_all = _gen_drop_mults(seed_ref, pl.program_id(0), R,
-                                 (nk + 1) * heads, W, keep_prob)
+        dm = _gen_drop_mults(seed_ref, pl.program_id(0), R,
+                             (nk + 1) * heads, W, keep_prob
+                             ).reshape(nk + 1, heads, R, W)
+        w_self = w_self * dm[nk]
+        wts_all = wts_all * dm[:nk]
+    elif has_dropout:
+        dm = dmask[:].astype(jnp.float32)       # [K+1, heads, R, W]
+        w_self = w_self * dm[nk]
+        wts_all = wts_all * dm[:nk]
 
-    # per (offset, head) logits; missing neighbors arrive premasked at ~NEG
-    # via el (LeakyReLU keeps them at 0.2*NEG, which exp() flushes to 0)
-    wts = [[None] * heads for _ in range(nk)]   # softmax weights [R, W]
-    w_self = [None] * heads
-    for h in range(heads):
-        a_src_h = adT[h]                        # [R+2, W]
-        a_dst_h = adT[heads + h][1:R + 1]       # [R, W]
-        self_lg = leaky(a_src_h[1:R + 1] + a_dst_h + els[h])
-        lgs = []
-        m = self_lg
-        for k, (dr, dc) in enumerate(offsets):
-            a_n = a_src_h[1 + dr:1 + dr + R]
-            a_n = pltpu.roll(a_n, (-dc) % W, 1)  # pltpu.roll: shift >= 0
-            lg = leaky(a_n + a_dst_h + elb[k, h])
-            lgs.append(lg)
-            m = jnp.maximum(m, lg)
-        e_self = jnp.exp(self_lg - m)
-        denom = e_self
-        exps = []
-        for lg in lgs:
-            e = jnp.exp(lg - m)
-            exps.append(e)
-            denom = denom + e
-        inv = 1.0 / jnp.maximum(denom, 1e-16)
-        w_self[h] = e_self * inv
-        for k in range(nk):
-            wts[k][h] = exps[k] * inv
-        if rng_drop:
-            w_self[h] = w_self[h] * dm_all[:, nk * heads + h, :]
-            for k in range(nk):
-                wts[k][h] = wts[k][h] * dm_all[:, k * heads + h, :]
-        elif has_dropout:
-            dm = dmask[:]
-            w_self[h] = w_self[h] * dm[nk, h].astype(jnp.float32)
-            for k in range(nk):
-                wts[k][h] = wts[k][h] * dm[k, h].astype(jnp.float32)
-
-    # head expansion: list of heads x [R, W] -> [R, W, HC] as one MXU
-    # matmul per offset with a constant one-hot matrix, fed heads-major:
-    # stack on axis 0 + major-collapse reshape are layout no-ops, and the
-    # TN dot_general contracts the heads axis directly. (Broadcast+concat
-    # and jnp.stack(axis=-1) both force W-lanes->sublanes relayouts that
+    # head expansion: [H, R, W] -> [R, W, HC] as one MXU matmul per
+    # offset with a constant one-hot matrix, fed heads-major: the
+    # major-collapse reshape is a layout no-op, and the TN dot_general
+    # contracts the heads axis directly. (Broadcast+concat and
+    # jnp.stack(axis=-1) both force W-lanes->sublanes relayouts that
     # measure 3x slower end to end.)
     head_of_col = jax.lax.broadcasted_iota(jnp.int32, (heads, HC), 1) // C
     head_row = jax.lax.broadcasted_iota(jnp.int32, (heads, HC), 0)
     expand_mat = (head_of_col == head_row).astype(jnp.float32)
 
-    def expand_heads(per_head):
-        ws_t = jnp.stack(per_head, axis=0).reshape(heads, R * W)
+    def expand_heads(w_hrw):                    # [H, R, W] -> [R, W, HC]
         return jax.lax.dot_general(
-            ws_t, expand_mat, (((0,), (0,)), ((), ())),
+            w_hrw.reshape(heads, R * W), expand_mat, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).reshape(R, W, HC)
 
     acc = xh_e[1:R + 1] * expand_heads(w_self)
     for k, (dr, dc) in enumerate(offsets):
         xn = xh_e[1 + dr:1 + dr + R]
         xn = pltpu.roll(xn, (-dc) % W, 1)
-        acc = acc + xn * expand_heads(wts[k])
+        acc = acc + xn * expand_heads(wts_all[k])
         # (factoring the column rolls into 2 shared full-height rolled
         # copies measures ~7% SLOWER end to end — per-offset row-sliced
         # rolls pipeline better)
@@ -639,54 +632,44 @@ def _bwd_kernel(
     def dleaky(v):
         return jnp.where(v >= 0, 1.0, negative_slope)
 
-    # ---- recompute per-(offset, head) logits + softmax on [Rh, W] ----
-    lgs = [[None] * heads for _ in range(nk)]   # post-LeakyReLU logits
-    lg_self = [None] * heads
-    wts = [[None] * heads for _ in range(nk)]   # softmax weights (no drop)
-    w_self = [None] * heads
-    for h in range(heads):
-        a_src_h = adT[h]                        # [R+4, W]
-        a_dst_h = adT[heads + h][1:R + 3]       # [Rh, W]
-        els_h = jnp.concatenate(
-            [els_top[0, h][None], el_self[h], els_bot[0, h][None]],
-            0).astype(jnp.float32)
-        sl = leaky(a_src_h[1:R + 3] + a_dst_h + els_h)
-        lg_self[h] = sl
-        m = sl
-        for k, (dr, dc) in enumerate(offsets):
-            elb_kh = jnp.concatenate(
-                [el_top[0, k, h][None], el[k, h], el_bot[0, k, h][None]], 0
-            ).astype(jnp.float32)
-            a_n = pltpu.roll(a_src_h[1 + dr:1 + dr + Rh], (-dc) % W, 1)
-            lg = leaky(a_n + a_dst_h + elb_kh)
-            lgs[k][h] = lg
-            m = jnp.maximum(m, lg)
-        e_self = jnp.exp(sl - m)
-        denom = e_self
-        exps = []
-        for k in range(nk):
-            e = jnp.exp(lgs[k][h] - m)
-            exps.append(e)
-            denom = denom + e
-        inv = 1.0 / jnp.maximum(denom, 1e-16)
-        w_self[h] = e_self * inv
-        for k in range(nk):
-            wts[k][h] = exps[k] * inv
+    # ---- recompute logits + softmax, batched over (offset, head) ----
+    # Round 5: every per-(offset, head) [Rh, W] chain of r4 now runs as
+    # one op on [K, H, Rh, W] / [H, Rh, W] stacks (the loops were
+    # issue-bound — ~200 small VPU ops per block); only the column rolls
+    # stay per-offset, batched over heads.
+    a_src_all = adT[:heads]                         # [H, R+4, W]
+    a_dst_all = adT[heads:2 * heads][:, 1:R + 3]    # [H, Rh, W]
+    els_all = jnp.concatenate(
+        [els_top[0][:, None], el_self[:], els_bot[0][:, None]],
+        axis=1).astype(jnp.float32)                 # [H, Rh, W]
+    lg_self = leaky(a_src_all[:, 1:R + 3] + a_dst_all + els_all)
+    el_all = jnp.concatenate(
+        [el_top[0][:, :, None], el[:], el_bot[0][:, :, None]],
+        axis=2).astype(jnp.float32)                 # [K, H, Rh, W]
+    a_n_all = jnp.stack(
+        [pltpu.roll(a_src_all[:, 1 + dr:1 + dr + Rh], (-dc) % W, 2)
+         for dr, dc in offsets], axis=0)            # [K, H, Rh, W]
+    lg_all = leaky(a_n_all + a_dst_all[None] + el_all)
+    m = jnp.maximum(jnp.max(lg_all, axis=0), lg_self)
+    e_all = jnp.exp(lg_all - m[None])
+    e_self = jnp.exp(lg_self - m)
+    inv = 1.0 / jnp.maximum(jnp.sum(e_all, axis=0) + e_self, 1e-16)
+    w_self = e_self * inv                           # [H, Rh, W]
+    wts_all = e_all * inv[None]                     # [K, H, Rh, W]
 
     if rng_drop:
         # regenerate the identical per-row draw as the forward kernel,
         # extended one halo row each side (rows iR-1 .. iR+R); OOB rows
         # (-1, H) multiply only zero-context terms — any finite value ok
-        dm_all_b = _gen_drop_mults(seed_ref, pl.program_id(0),
-                                   R, (nk + 1) * heads, W, keep_prob,
-                                   halo=True)
-
-    def dm_at(k, h):                  # dropout multiplier on [Rh, W]
-        if rng_drop:
-            return dm_all_b[:, k * heads + h, :]
-        return jnp.concatenate(
-            [dm_top[0, k, h][None], dmask[k, h], dm_bot[0, k, h][None]], 0
-        ).astype(jnp.float32)
+        dm_all = _gen_drop_mults(seed_ref, pl.program_id(0),
+                                 R, (nk + 1) * heads, W, keep_prob,
+                                 halo=True).reshape(nk + 1, heads, Rh, W)
+    elif has_dropout:
+        dm_all = jnp.concatenate(
+            [dm_top[0][:, :, None], dmask[:], dm_bot[0][:, :, None]],
+            axis=2).astype(jnp.float32)             # [K+1, H, Rh, W]
+    else:
+        dm_all = None
 
     # ---- d(softmax weights) from the aggregation: dwts'_kh = xh_n . g ----
     head_of_col = jax.lax.broadcasted_iota(jnp.int32, (heads, HC), 1) // C
@@ -699,37 +682,28 @@ def _bwd_kernel(
                                  preferred_element_type=jnp.float32)
         return r2.reshape(heads, Rh, W)
 
-    def expand_heads(per_head, rows):  # heads x [rows, W] -> [rows, W, HC]
-        ws_t = jnp.stack(per_head, axis=0).reshape(heads, rows * W)
+    def expand_heads(w_hrw, rows):    # [H, rows, W] -> [rows, W, HC]
         return jax.lax.dot_general(
-            ws_t, expand_mat, (((0,), (0,)), ((), ())),
+            w_hrw.reshape(heads, rows * W), expand_mat,
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).reshape(rows, W, HC)
 
-    dws_self = collapse_heads(xh_e[1:R + 3] * g_eff)     # [heads, Rh, W]
-    if has_dropout or rng_drop:
-        dws_self_m = [dws_self[h] * dm_at(nk, h) for h in range(heads)]
+    dws_self = collapse_heads(xh_e[1:R + 3] * g_eff)     # [H, Rh, W]
+    dwk_all = jnp.stack(
+        [collapse_heads(
+            pltpu.roll(xh_e[1 + dr:1 + dr + Rh], (-dc) % W, 1) * g_eff)
+         for dr, dc in offsets], axis=0)                 # [K, H, Rh, W]
+    if dm_all is not None:
+        dws_self_m = dws_self * dm_all[nk]
+        dwk_all_m = dwk_all * dm_all[:nk]
     else:
-        dws_self_m = [dws_self[h] for h in range(heads)]
-    dwk = []                                             # chained cotangents
-    for k, (dr, dc) in enumerate(offsets):
-        xh_n = pltpu.roll(xh_e[1 + dr:1 + dr + Rh], (-dc) % W, 1)
-        ck = collapse_heads(xh_n * g_eff)
-        if has_dropout or rng_drop:
-            dwk.append([ck[h] * dm_at(k, h) for h in range(heads)])
-        else:
-            dwk.append([ck[h] for h in range(heads)])
+        dws_self_m, dwk_all_m = dws_self, dwk_all
 
     # ---- softmax + LeakyReLU backward -> d(raw logits) ----
-    d_raw = [[None] * heads for _ in range(nk)]
-    d_raw_self = [None] * heads
-    for h in range(heads):
-        s_h = w_self[h] * dws_self_m[h]
-        for k in range(nk):
-            s_h = s_h + wts[k][h] * dwk[k][h]
-        d_raw_self[h] = (w_self[h] * (dws_self_m[h] - s_h)
-                         * dleaky(lg_self[h]))
-        for k in range(nk):
-            d_raw[k][h] = wts[k][h] * (dwk[k][h] - s_h) * dleaky(lgs[k][h])
+    s_all = w_self * dws_self_m + jnp.sum(wts_all * dwk_all_m, axis=0)
+    d_raw_self = w_self * (dws_self_m - s_all) * dleaky(lg_self)
+    d_raw_all = (wts_all * (dwk_all_m - s_all[None])
+                 * dleaky(lg_all))                       # [K, H, Rh, W]
 
     # ---- dM_edge partial (center rows only) ----
     # ONE dot over the concatenation of all (offset, self) blocks: Mosaic
@@ -737,47 +711,36 @@ def _bwd_kernel(
     # `acc + dot(...)` adds ("only constant accumulators supported"), so
     # the per-offset contributions must share a single zero-initialized
     # contraction.
-    d_all = jnp.concatenate(
-        [jnp.stack([d_raw[k][h][1:R + 1] for h in range(heads)],
-                   0).reshape(heads, R * W) for k in range(nk)]
-        + [jnp.stack([d_raw_self[h][1:R + 1] for h in range(heads)],
-                     0).reshape(heads, R * W)], axis=1)
-    e_all = jnp.concatenate(
+    d_cat = jnp.concatenate(
+        [d_raw_all[k, :, 1:R + 1].reshape(heads, R * W) for k in range(nk)]
+        + [d_raw_self[:, 1:R + 1].reshape(heads, R * W)], axis=1)
+    ea_all = jnp.concatenate(
         [ea_t[k].astype(jnp.float32).reshape(ED, R * W) for k in range(nk)]
         + [ma_t[:].astype(jnp.float32).reshape(ED, R * W)], axis=1)
-    dme_acc = jax.lax.dot_general(e_all, d_all, (((1,), (1,)), ((), ())),
+    dme_acc = jax.lax.dot_general(ea_all, d_cat, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
 
     # ---- d(a_src), d(a_dst) for center rows ----
-    d_ad_list = []                     # 2*heads x [R, W]: a_src then a_dst
-    for h in range(heads):
-        acc_s = d_raw_self[h][1:R + 1]
-        for k, (dr, dc) in enumerate(offsets):
-            # dst d used a_src at j = d + dr  ->  j's cotangent pulls from
-            # d = j - dr (Rh index j + 1 - dr), columns rolled back by +dc
-            sl = d_raw[k][h][1 - dr:1 - dr + R]
-            acc_s = acc_s + pltpu.roll(sl, dc % W, 1)
-        d_ad_list.append(acc_s)
-    for h in range(heads):
-        acc_d = d_raw_self[h][1:R + 1]
-        for k in range(nk):
-            acc_d = acc_d + d_raw[k][h][1:R + 1]
-        d_ad_list.append(acc_d)
-    d_ad_st = jnp.stack(d_ad_list, 0).reshape(2 * heads, R * W)
+    # dst d used a_src at j = d + dr  ->  j's cotangent pulls from
+    # d = j - dr (Rh index j + 1 - dr), columns rolled back by +dc
+    acc_s = d_raw_self[:, 1:R + 1]
+    for k, (dr, dc) in enumerate(offsets):
+        acc_s = acc_s + pltpu.roll(
+            d_raw_all[k][:, 1 - dr:1 - dr + R], dc % W, 2)
+    acc_d = d_raw_self[:, 1:R + 1] + jnp.sum(
+        d_raw_all[:, :, 1:R + 1], axis=0)
+    d_ad_st = jnp.concatenate([acc_s, acc_d], axis=0).reshape(
+        2 * heads, R * W)
 
     # ---- d(xh) from the aggregation (center rows) ----
-    if has_dropout or rng_drop:
-        w_self_eff = [w_self[h] * dm_at(nk, h) for h in range(heads)]
+    if dm_all is not None:
+        w_self_eff = w_self * dm_all[nk]
+        wts_eff = wts_all * dm_all[:nk]
     else:
-        w_self_eff = w_self
-    dxh = expand_heads([w_self_eff[h][1:R + 1] for h in range(heads)],
-                       R) * g_eff[1:R + 1]
+        w_self_eff, wts_eff = w_self, wts_all
+    dxh = expand_heads(w_self_eff[:, 1:R + 1], R) * g_eff[1:R + 1]
     for k, (dr, dc) in enumerate(offsets):
-        if has_dropout or rng_drop:
-            wk_eff = [wts[k][h] * dm_at(k, h) for h in range(heads)]
-        else:
-            wk_eff = wts[k]
-        u_k = expand_heads(wk_eff, Rh) * g_eff            # [Rh, W, HC]
+        u_k = expand_heads(wts_eff[k], Rh) * g_eff        # [Rh, W, HC]
         dxh = dxh + pltpu.roll(u_k[1 - dr:1 - dr + R], dc % W, 1)
 
     # ---- matmul epilogue: dx and per-block weight-grad partials ----

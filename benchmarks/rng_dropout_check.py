@@ -63,8 +63,8 @@ def main():
     # --- extract the exact in-kernel draw ---
     def dump_kernel(seed_ref, out_ref, *, R, nkh, W, keep_prob):
         dm = _gen_drop_mults(seed_ref, pl.program_id(0), R, nkh, W,
-                             keep_prob)
-        out_ref[:] = jnp.swapaxes(dm, 0, 1)
+                             keep_prob)   # round-5 layout: [nkh, R, W]
+        out_ref[:] = dm
 
     mask = pl.pallas_call(
         functools.partial(dump_kernel, R=R, nkh=nkh, W=w, keep_prob=kp),
