@@ -33,6 +33,15 @@ def shift(a: jax.Array, dr: int, dc: int) -> jax.Array:
     return jnp.roll(jnp.roll(a, -dr, 0), -dc, 1)
 
 
+# Fused-kernel invocation config, defined ONCE so the rng-dropout
+# eligibility check and the actual _pallas_path invocation can never
+# drift onto different paths (advisor r4): if either block_rows or the
+# interpret flag changed in one place only, drop_seed could reach a
+# fallback path and trip the assert in grid_gat_fused._fused_forward.
+KERNEL_BLOCK_ROWS = 16
+KERNEL_INTERPRET = None  # None = auto (interpret off on real TPUs)
+
+
 def neighbor_masks(valid: jax.Array, offsets) -> jax.Array:
     """[K, H, W] bool: cell has a valid in-bounds neighbor at offset k."""
     h, w = valid.shape
@@ -116,7 +125,9 @@ class GridGATConv(nn.Module):
                 rng = self.make_rng("dropout")
                 from ..ops.pallas.grid_gat_fused import _resolve_block_rows
                 rng_ok = (jax.default_backend() == "tpu"
-                          and _resolve_block_rows(hgt, 16, wid)[1])
+                          and KERNEL_INTERPRET is not True
+                          and _resolve_block_rows(
+                              hgt, KERNEL_BLOCK_ROWS, wid)[1])
                 if rng_ok:
                     # in-kernel rng dropout (round 4): fwd/bwd regenerate
                     # the identical draw from this seed per global row —
@@ -243,7 +254,7 @@ class GridGATConv(nn.Module):
         args = (x, w_lin, a_src, a_dst, m_edge, edge_attr,
                 nbr_mask.astype(jnp.float32), valid.astype(jnp.float32),
                 kernel_bias, dmask, self.connectivity, self.negative_slope,
-                True, 16, None)
+                True, KERNEL_BLOCK_ROWS, KERNEL_INTERPRET)
         cd = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
               else jnp.float32)
         if bn_scale is not None and direct:

@@ -90,7 +90,12 @@ def _bn_lowp_bwd(eps, relu, keep_prob, res, cts):
     if keep_prob < 1.0:
         dy32 = jnp.where(keep, dy32 / keep_prob, 0.0)
     if relu:
-        dy32 = jnp.where(xhat * scale + bias > 0, dy32, 0.0)
+        # recompute the ReLU gate with the forward's exact factoring
+        # ((x32 - mean) * (r*scale) + bias) — the algebraically equal
+        # xhat*scale + bias rounds differently and can flip the gate for
+        # pre-activations exactly at the f32 rounding boundary
+        gate = (x.astype(jnp.float32) - mean) * (r * scale) + bias
+        dy32 = jnp.where(gate > 0, dy32, 0.0)
     db = jnp.sum(dy32, axis=0)               # [F]
     ds = jnp.sum(dy32 * xhat, axis=0)        # [F]
     # dxhat = dy*scale; dx = (r/n)*(n*dxhat - sum(dxhat) - xhat*sum(dxhat·xhat))

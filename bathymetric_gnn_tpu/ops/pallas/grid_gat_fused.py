@@ -151,7 +151,9 @@ def _kernel(
     halo_top,     # [1, 1, W, F] block — grid row i*R - 1 (zeros at i=0)
     halo_bot,     # [1, 1, W, F] block — grid row i*R + R (zeros at end)
     w_lin,        # [F, HC] VMEM
-    wa_cat,       # [F, 2*heads] VMEM  (W @ [a_src | a_dst])
+    wa_t,         # [2*heads, F] VMEM (W @ [a_src | a_dst], transposed —
+                  # the attention dots are computed pre-transposed via an
+                  # NT dot, avoiding the r4 per-block ad.T big relayout)
     el,           # [K, heads, R, W] block — premasked edge logits
     el_self,      # [heads, R, W] block — self-loop edge logit term
     valid,        # [R, W] float block
@@ -188,12 +190,13 @@ def _kernel(
         # dots with f32 accumulation; upcasting reproduces the TPU MXU's
         # bf16-inputs/f32-accumulate semantics exactly.
         xe = xe.astype(jnp.float32)
-        w_mat, wa_mat = w_lin[:].astype(jnp.float32), wa_cat[:].astype(
+        w_mat, wa_t_mat = w_lin[:].astype(jnp.float32), wa_t[:].astype(
             jnp.float32)
     else:
-        w_mat, wa_mat = w_lin[:], wa_cat[:]
+        w_mat, wa_t_mat = w_lin[:], wa_t[:]
     xh_e = jnp.dot(xe, w_mat, preferred_element_type=jnp.float32)
-    ad = jnp.dot(xe, wa_mat, preferred_element_type=jnp.float32)
+    adT0 = jax.lax.dot_general(wa_t_mat, xe, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
     xh_e = xh_e.reshape(R + 2, W, HC)
     # (NEGATIVE RESULT 2026-08-19: running the aggregation loop on bf16
     # operands — and even fully-packed bf16 accumulate — measures 2-6%
@@ -207,7 +210,7 @@ def _kernel(
     # slices. Everything downstream (logits, softmax) runs on arrays
     # whose minor dim is W — full lane utilization instead of a padded
     # heads-minor layout.
-    adT = ad.T.reshape(2 * heads, R + 2, W)
+    adT = adT0.reshape(2 * heads, R + 2, W)
     elb = el[:].astype(jnp.float32)             # [K, heads, R, W]
     els = el_self[:].astype(jnp.float32)        # [heads, R, W]
 
@@ -472,10 +475,12 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
     w_lin = w_lin.astype(compute_dtype)
     nb = hgt // r
     xr = x.reshape(nb, r, wid, f_in)
-    z = jnp.zeros((1, wid, f_in), compute_dtype)
-    halo_top = jnp.concatenate([z, x[r - 1::r][:-1]], 0).reshape(
-        nb, 1, wid, f_in)
-    halo_bot = jnp.concatenate([x[r::r], z], 0).reshape(nb, 1, wid, f_in)
+    # halos as plain slices of the block-reshaped view: the r4 strided
+    # slices (x[r-1::r]) lowered to index-computed XLA gather fusions
+    # (round-5 HLO finding — a large share of the per-layer glue time)
+    z = jnp.zeros((1, 1, wid, f_in), compute_dtype)
+    halo_top = jnp.concatenate([z, xr[:-1, r - 1:]], 0)
+    halo_bot = jnp.concatenate([xr[1:, :1], z], 0)
 
     if interpret is None:
         interpret = _interpret_default()
@@ -537,7 +542,7 @@ def _fused_forward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xr, halo_top, halo_bot, w_lin, wa_cat, el, el_self,
+    )(xr, halo_top, halo_bot, w_lin, wa_cat.T, el, el_self,
       valid.astype(jnp.float32), *dm_args, bias.reshape(1, -1), sc2, bi2)
 
 
@@ -549,7 +554,11 @@ def _bwd_kernel(
     g_top,       # [1, 1, W, HC]
     g_bot,       # [1, 1, W, HC]
     w_lin,       # [F, HC]
-    wa_cat,      # [F, 2*heads]
+    w_t,         # [HC, F]   (transposed copies: every epilogue dot then
+    wa_cat,      # [F, 2*heads]           runs in native NN/TN form — the
+    wa_t,        # [2*heads, F]           r4 TT-form d_ad dot paid an
+                 #                        [2H, RW] relayout per block,
+                 #                        ~135 us/layer, round-5 bisect)
     el,          # [K, heads, R, W] premasked edge logits (center rows)
     el_top,      # [1, K, heads, W] (NEG-filled OOB) — nb-leading layouts
     el_bot,      # [1, K, heads, W]    keep block last-two dims full-size
@@ -563,7 +572,7 @@ def _bwd_kernel(
     ma_t,        # [ED, R, W] transposed self-loop mean attrs
     *rest,       # [dmask/dm_top/dm_bot if has_dropout,] then outputs:
                  # dx_ref [R, W, F], dw_ref [1, F, HC],
-                 # dwa_ref [1, F, 2*heads], dme_ref [1, ED, heads],
+                 # dwa_t_ref [1, 2*heads, F], dme_ref [1, ED, heads],
                  # db_ref [1, 1, HC]
     offsets,
     R: int,
@@ -597,12 +606,12 @@ def _bwd_kernel(
     """
     dmask = dm_top = dm_bot = seed_ref = None
     if rng_drop:
-        seed_ref, dx_ref, dw_ref, dwa_ref, dme_ref, db_ref = rest
+        seed_ref, dx_ref, dw_ref, dwa_t_ref, dme_ref, db_ref = rest
     elif has_dropout:
-        (dmask, dm_top, dm_bot, dx_ref, dw_ref, dwa_ref, dme_ref,
+        (dmask, dm_top, dm_bot, dx_ref, dw_ref, dwa_t_ref, dme_ref,
          db_ref) = rest
     else:
-        dx_ref, dw_ref, dwa_ref, dme_ref, db_ref = rest
+        dx_ref, dw_ref, dwa_t_ref, dme_ref, db_ref = rest
 
     HC = heads * C
     nk = len(offsets)
@@ -614,12 +623,19 @@ def _bwd_kernel(
         xe2 = xe2.astype(jnp.float32)
         w_mat, wa_mat = w_lin[:].astype(jnp.float32), wa_cat[:].astype(
             jnp.float32)
+        w_t_mat, wa_t_mat = w_t[:].astype(jnp.float32), wa_t[:].astype(
+            jnp.float32)
     else:
         w_mat, wa_mat = w_lin[:], wa_cat[:]
+        w_t_mat, wa_t_mat = w_t[:], wa_t[:]
     xh_e = jnp.dot(xe2, w_mat, preferred_element_type=jnp.float32
                    ).reshape(R + 4, W, HC)
-    ad = jnp.dot(xe2, wa_mat, preferred_element_type=jnp.float32)
-    adT = ad.T.reshape(2 * heads, R + 4, W)
+    # attention dots computed TRANSPOSED directly (NT dot against the
+    # pre-transposed wa_t) — the r4 `ad.T` relayout of [(R+4)W, 2H] cost
+    # a per-block big-array transpose
+    adT = jax.lax.dot_general(wa_t_mat, xe2, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32
+                              ).reshape(2 * heads, R + 4, W)
 
     ge = jnp.concatenate([g_top[0], g_blk[0], g_bot[0]], axis=0)  # [Rh,W,HC]
     ve = jnp.concatenate([v_top[0], valid_blk[:], v_bot[0]],
@@ -676,22 +692,30 @@ def _bwd_kernel(
     head_row = jax.lax.broadcasted_iota(jnp.int32, (heads, HC), 0)
     expand_mat = (head_of_col == head_row).astype(jnp.float32)
 
-    def collapse_heads(p3):           # [Rh, W, HC] -> [heads, Rh, W]
-        p2 = p3.reshape(Rh * W, HC)
-        r2 = jax.lax.dot_general(expand_mat, p2, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        return r2.reshape(heads, Rh, W)
-
     def expand_heads(w_hrw, rows):    # [H, rows, W] -> [rows, W, HC]
         return jax.lax.dot_general(
             w_hrw.reshape(heads, rows * W), expand_mat,
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).reshape(rows, W, HC)
 
+    # Round 5: both offset loops below share TWO pre-rolled g copies
+    # (dc in {-1, 0, +1}) instead of one [Rh, W, HC]-scale roll per
+    # offset; the per-offset residual rolls act on small [H, *, W]
+    # arrays. (dwk: collapse(roll(xh) * g) == roll_back(collapse(
+    # xh_rows * roll(g, dc))), the column substitution w' = w + dc.)
+    g_roll = {dc: (g_eff if dc == 0 else pltpu.roll(g_eff, dc % W, 1))
+              for dc in sorted({o[1] for o in offsets})}
+
+    def collapse_heads(p3):           # [Rh, W, HC] -> [heads, Rh, W]
+        p2 = p3.reshape(Rh * W, HC)
+        r2 = jax.lax.dot_general(expand_mat, p2, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return r2.reshape(heads, Rh, W)
+
     dws_self = collapse_heads(xh_e[1:R + 3] * g_eff)     # [H, Rh, W]
     dwk_all = jnp.stack(
-        [collapse_heads(
-            pltpu.roll(xh_e[1 + dr:1 + dr + Rh], (-dc) % W, 1) * g_eff)
+        [pltpu.roll(collapse_heads(
+            xh_e[1 + dr:1 + dr + Rh] * g_roll[dc]), (-dc) % W, 2)
          for dr, dc in offsets], axis=0)                 # [K, H, Rh, W]
     if dm_all is not None:
         dws_self_m = dws_self * dm_all[nk]
@@ -740,8 +764,10 @@ def _bwd_kernel(
         w_self_eff, wts_eff = w_self, wts_all
     dxh = expand_heads(w_self_eff[:, 1:R + 1], R) * g_eff[1:R + 1]
     for k, (dr, dc) in enumerate(offsets):
-        u_k = expand_heads(wts_eff[k], Rh) * g_eff        # [Rh, W, HC]
-        dxh = dxh + pltpu.roll(u_k[1 - dr:1 - dr + R], dc % W, 1)
+        # dxh += shift_k(expand(wts) * g): roll the small weight array
+        # and reuse the shared rolled g; expand/multiply on R rows only
+        w_r = pltpu.roll(wts_eff[k], dc % W, 2)[:, 1 - dr:1 - dr + R]
+        dxh = dxh + expand_heads(w_r, R) * g_roll[dc][1 - dr:1 - dr + R]
 
     # ---- matmul epilogue: dx and per-block weight-grad partials ----
     # In lowp mode the f32 cotangent intermediates are rounded to bf16
@@ -756,9 +782,12 @@ def _bwd_kernel(
         cast = lambda t: t
     dxh2 = cast(dxh.reshape(R * W, HC))
     d_ad_c = cast(d_ad_st)
-    dx = jax.lax.dot_general(dxh2, w_mat, (((1,), (1,)), ((), ())),
+    # NN / TN contraction forms only (round 5): the r4 NT/TT forms made
+    # Mosaic relayout a big operand per block — the d_ad TT dot alone was
+    # ~135 us/layer; the pre-transposed w_t/wa_t side inputs are tiny.
+    dx = jax.lax.dot_general(dxh2, w_t_mat, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dx = dx + jax.lax.dot_general(d_ad_c, wa_mat, (((0,), (1,)), ((), ())),
+    dx = dx + jax.lax.dot_general(d_ad_c, wa_t_mat, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
     dx_ref[:] = dx.reshape(R, W, -1).astype(dx_ref.dtype)
 
@@ -767,9 +796,11 @@ def _bwd_kernel(
         xe_c2 = xe_c2.astype(jnp.float32)
     dw_ref[0] = jax.lax.dot_general(xe_c2, dxh2, (((0,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-    dwa_ref[0] = jax.lax.dot_general(xe_c2, d_ad_c,
-                                     (((0,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+    # dwa emitted TRANSPOSED [2H, F] (NN form); the XLA side re-transposes
+    # the tiny cross-block-reduced result once
+    dwa_t_ref[0] = jax.lax.dot_general(d_ad_c, xe_c2,
+                                       (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
     dme_ref[0] = dme_acc
     db_ref[0] = jnp.sum(g_eff.reshape(Rh, W, HC)[1:R + 1].reshape(R * W, HC),
                         axis=0, keepdims=True)
@@ -812,38 +843,39 @@ def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
                                nbr_mask, use_edge, heads, hgt, wid, cd)
     wa_cat, el, el_self, ea_t, ma_t = pre
 
+    # ALL halo side arrays are plain slices of block-reshaped views +
+    # leading-axis moves — the r4 strided slices (x[r-2::r] etc.) lowered
+    # to index-computed XLA gather fusions that dominated the per-layer
+    # glue (round-5 HLO finding). They carry the block index LEADING so
+    # every block's last-two dims stay full-size (Mosaic tiling rule).
     xr = x32.reshape(nb, r, wid, f_in)
-    z1 = jnp.zeros((1, wid, f_in), cd)
+    z2 = jnp.zeros((1, 2, wid, f_in), cd)
     # 2-row x halos: rows (iR-2, iR-1) and (iR+R, iR+R+1)
-    t0 = jnp.concatenate([z1, x32[r - 2::r][:nb - 1]], 0)
-    t1 = jnp.concatenate([z1, x32[r - 1::r][:nb - 1]], 0)
-    x_top = jnp.stack([t0, t1], axis=1)                    # [nb, 2, W, F]
-    b0 = jnp.concatenate([x32[r::r], z1], 0)
-    b1 = jnp.concatenate([x32[r + 1::r][:nb - 1], z1], 0)
-    x_bot = jnp.stack([b0, b1], axis=1)
+    x_top = jnp.concatenate([z2, xr[:-1, r - 2:]], 0)      # [nb, 2, W, F]
+    x_bot = jnp.concatenate([xr[1:, :2], z2], 0)
 
     zg = jnp.zeros((1, 1, wid, hc), cd)
     gr = g32.reshape(nb, r, wid, hc)
-    g_top = jnp.concatenate([zg, g32[r - 1::r][:nb - 1][:, None]], 0)
-    g_bot = jnp.concatenate([g32[r::r][:, None], zg], 0)
+    g_top = jnp.concatenate([zg, gr[:-1, r - 1:]], 0)
+    g_bot = jnp.concatenate([gr[1:, :1], zg], 0)
 
-    # halo side arrays carry the block index LEADING so every block's
-    # last-two dims stay full-size (Mosaic tiling rule for small dims)
     negrow = jnp.full((1, k, heads, wid), NEG, cd)
+    el5 = el.reshape(k, heads, nb, r, wid)
     el_top = jnp.concatenate(
-        [negrow, jnp.moveaxis(el[:, :, r - 1::r, :][:, :, :nb - 1], 2, 0)],
+        [negrow, jnp.moveaxis(el5[:, :, :nb - 1, r - 1], 2, 0)],
         0)                                                # [nb, K, heads, W]
     el_bot = jnp.concatenate(
-        [jnp.moveaxis(el[:, :, r::r, :], 2, 0), negrow], 0)
+        [jnp.moveaxis(el5[:, :, 1:, 0], 2, 0), negrow], 0)
     zs = jnp.zeros((1, heads, wid), cd)
+    els5 = el_self.reshape(heads, nb, r, wid)
     els_top = jnp.concatenate(
-        [zs, jnp.moveaxis(el_self[:, r - 1::r][:, :nb - 1], 1, 0)], 0)
+        [zs, jnp.moveaxis(els5[:, :nb - 1, r - 1], 1, 0)], 0)
     els_bot = jnp.concatenate(
-        [jnp.moveaxis(el_self[:, r::r], 1, 0), zs], 0)    # [nb, heads, W]
+        [jnp.moveaxis(els5[:, 1:, 0], 1, 0), zs], 0)      # [nb, heads, W]
     zv = jnp.zeros((1, 1, wid), jnp.float32)
-    v_top = jnp.concatenate(
-        [zv, valid_f[r - 1::r][:nb - 1][:, None]], 0)     # [nb, 1, W]
-    v_bot = jnp.concatenate([valid_f[r::r][:, None], zv], 0)
+    vr5 = valid_f.reshape(nb, r, wid)
+    v_top = jnp.concatenate([zv, vr5[:-1, r - 1:]], 0)    # [nb, 1, W]
+    v_bot = jnp.concatenate([vr5[1:, :1], zv], 0)
 
     has_dropout = dmask is not None
     rng_drop = drop_seed is not None
@@ -855,11 +887,11 @@ def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
     if has_dropout:
         dm32 = dmask.astype(cd)
         onerow = jnp.ones((1, k + 1, heads, wid), cd)
+        dm5 = dm32.reshape(k + 1, heads, nb, r, wid)
         dm_top = jnp.concatenate(
-            [onerow,
-             jnp.moveaxis(dm32[:, :, r - 1::r, :][:, :, :nb - 1], 2, 0)], 0)
+            [onerow, jnp.moveaxis(dm5[:, :, :nb - 1, r - 1], 2, 0)], 0)
         dm_bot = jnp.concatenate(
-            [jnp.moveaxis(dm32[:, :, r::r, :], 2, 0), onerow], 0)
+            [jnp.moveaxis(dm5[:, :, 1:, 0], 2, 0), onerow], 0)
         dm_args = [dm32, dm_top, dm_bot]
         dm_specs = [
             pl.BlockSpec((k + 1, heads, r, wid), lambda i: (0, 0, i, 0),
@@ -895,7 +927,9 @@ def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
             pl.BlockSpec((1, 1, wid, hc), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),     # w_lin
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # w_t
             pl.BlockSpec(memory_space=pltpu.VMEM),     # wa_cat
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # wa_t
             pl.BlockSpec((k, heads, r, wid), lambda i: (0, 0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, heads, wid), lambda i: (i, 0, 0, 0),
@@ -925,7 +959,7 @@ def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, f_in, hc), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f_in, 2 * heads), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 2 * heads, f_in), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ed, heads), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -935,7 +969,7 @@ def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
         out_shape=[
             jax.ShapeDtypeStruct((hgt, wid, f_in), cd),
             jax.ShapeDtypeStruct((nb, f_in, hc), jnp.float32),
-            jax.ShapeDtypeStruct((nb, f_in, 2 * heads), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 2 * heads, f_in), jnp.float32),
             jax.ShapeDtypeStruct((nb, ed, heads), jnp.float32),
             jax.ShapeDtypeStruct((nb, 1, hc), jnp.float32),
         ],
@@ -944,13 +978,15 @@ def _fused_backward(x, w_lin, a_src_mat, a_dst_mat, m_edge, eattr, nbr_mask,
         ),
         interpret=interpret,
     )(xr, x_top, x_bot, gr, g_top, g_bot, w_lin.astype(cd),
-      wa_cat.astype(cd), el.astype(cd), el_top.astype(cd),
+      w_lin.T.astype(cd),
+      wa_cat.astype(cd), wa_cat.T.astype(cd), el.astype(cd),
+      el_top.astype(cd),
       el_bot.astype(cd), el_self.astype(cd), els_top.astype(cd),
       els_bot.astype(cd), valid_f, v_top, v_bot, ea_t.astype(cd),
       ma_t.astype(cd), *dm_args)
 
     dw = jnp.sum(dw_p, 0)
-    dwa = jnp.sum(dwa_p, 0)
+    dwa = jnp.sum(dwa_p, 0).T                # kernel emits [2H, F] partials
     dme = jnp.sum(dme_p, 0)
     db = jnp.sum(db_p, 0)[0]
     a_cat = jnp.concatenate([a_src_mat, a_dst_mat], axis=1)   # [HC, 2H]

@@ -179,6 +179,10 @@ class GridTrainer:
                                         getattr(tc, 'rng_impl', 'auto'))
 
         if getattr(tc, "class_weights", None) is not None:
+            if len(tc.class_weights) != mc.num_classes:
+                raise ValueError(
+                    f"training.class_weights has {len(tc.class_weights)}"
+                    f" entries but model.num_classes is {mc.num_classes}")
             cw = np.asarray(tc.class_weights, np.float32)
         else:
             try:

@@ -239,6 +239,16 @@ class Trainer:
     # -- setup -------------------------------------------------------------
 
     def _compute_training_stats(self) -> Tuple[jnp.ndarray, float]:
+        # validate the explicit override OUTSIDE the fallback try/except:
+        # a wrong-length tuple must fail loudly here, not surface later as
+        # an opaque broadcast error inside the jitted loss (advisor r4)
+        tc_chk = self.config.training
+        if getattr(tc_chk, "class_weights", None) is not None:
+            nc = self.config.model.num_classes
+            if len(tc_chk.class_weights) != nc:
+                raise ValueError(
+                    f"training.class_weights has {len(tc_chk.class_weights)}"
+                    f" entries but model.num_classes is {nc}")
         try:
             tc = self.config.training
             counts = self.train_dataset.class_counts()
