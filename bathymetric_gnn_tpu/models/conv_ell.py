@@ -19,20 +19,40 @@ from .conv import _glorot
 
 
 def make_banded_dropout_masks(rng, dropout: float, n: int, k: int,
-                              heads: int, spill_shape):
+                              heads: int, spill_shape, wide: bool = False):
     """Streamed post-softmax attention-dropout multipliers for the fused
     banded kernel: ([(K+1)*H, N] in-band+self, [T, H, S_max] spill), each
     0 or 1/(1-p). Generated OUTSIDE the kernel with jax.random so the
     forward kernel, backward kernel, and any XLA replay all see the
-    identical draw (same scheme as the grid kernel's streamed masks)."""
+    identical draw (same scheme as the grid kernel's streamed masks).
+
+    ``wide``: emit the round-5 wide-kernel layout instead —
+    ([T, H, (K+1)*R] with lane index k*R + r and the self slot as the
+    last R segment, [T, H, S_max]). Draws are iid, so the layout choice
+    only changes stream addressing, not semantics."""
     t_count, _, s_max = spill_shape
     r1, r2 = jax.random.split(rng)
     scale = 1.0 / (1.0 - dropout)
-    dm = jax.random.bernoulli(r1, 1.0 - dropout,
-                              ((k + 1) * heads, n)).astype(jnp.float32)
+    if wide:
+        r_band = n // t_count
+        dm = jax.random.bernoulli(
+            r1, 1.0 - dropout,
+            (t_count, heads, (k + 1) * r_band)).astype(jnp.float32)
+    else:
+        dm = jax.random.bernoulli(r1, 1.0 - dropout,
+                                  ((k + 1) * heads, n)).astype(jnp.float32)
     dm_sp = jax.random.bernoulli(r2, 1.0 - dropout,
                                  (t_count, heads, s_max)).astype(jnp.float32)
     return dm * scale, dm_sp * scale
+
+
+def banded_masks_wide_to_khn(dm_w: jax.Array, k: int, heads: int):
+    """[T, H, (K+1)*R] wide mask -> [(K+1)*H, N] (v2/test-oracle layout):
+    element (t, h, kk*R + r) maps to (kk*H + h, t*R + r)."""
+    t_count, h_dim, _ = dm_w.shape
+    r_band = dm_w.shape[-1] // (k + 1)
+    return (dm_w.reshape(t_count, h_dim, k + 1, r_band)
+            .transpose(2, 1, 0, 3).reshape((k + 1) * heads, t_count * r_band))
 
 
 class GATConvELL(nn.Module):
@@ -139,6 +159,11 @@ class GATConvEllBanded(nn.Module):
     # round-3 kernel: spill edges fold in-kernel from per-band compacted
     # tables; supports streamed attention dropout (training-capable)
     spill_in_kernel: bool = True
+    # round-5 kernel: per-band [K*R, ...] wide stacks — one MXU dot per
+    # gather/scatter instead of K, spill attention logits in-kernel (the
+    # v2 per-slot kernels were dispatch-bound; see ell_gat_fused.py v3
+    # banner). Requires spill_in_kernel.
+    wide_kernel: bool = True
     compute_dtype: str = "float32"
 
     @nn.compact
@@ -187,6 +212,8 @@ class GATConvEllBanded(nn.Module):
         else:
             a_src = jnp.sum(xh * att_src, -1)  # [N, H]
             a_dst = jnp.sum(xh * att_dst, -1)
+        wide = (self.use_pallas and self.spill_in_kernel
+                and self.wide_kernel)
 
         m_edge = None
         if self.edge_dim is not None and g.edge_attr.shape[-1] > 0:
@@ -195,20 +222,72 @@ class GATConvEllBanded(nn.Module):
             m_edge = jnp.einsum("fac,xac->fa",
                                 we.reshape(self.edge_dim, h, c), att_edge)
 
-        if self.use_pallas:
+        if self.use_pallas and wide:
+            # round-5 WIDE kernel: attention dots, spill logits and the
+            # leaky/softmax all live in-kernel; a_src/a_dst above are
+            # DCE'd. Streams: wide-lane el table + self logits only.
+            from ..ops.pallas.ell_gat_fused import ell_gat_fused_wide_pallas
+
+            t_count = banded.negmask_wide.shape[0]
+            if m_edge is not None:
+                el_w_b = (jnp.einsum("tfl,fh->thl", banded.eattr_wide_t,
+                                     m_edge)
+                          + banded.negmask_wide[:, None, :])
+                el_self_t = (m_edge.T @ banded.mean_attr_t
+                             if self.add_self_loops else None)
+            else:
+                el_w_b = jnp.broadcast_to(
+                    banded.negmask_wide[:, None, :],
+                    (t_count, h, banded.negmask_wide.shape[1]))
+                el_self_t = (jnp.zeros((h, n), x.dtype)
+                             if self.add_self_loops else None)
+            hoc = jax.lax.broadcasted_iota(jnp.int32, (h * c, h), 0) // c
+            hcol = jax.lax.broadcasted_iota(jnp.int32, (h * c, h), 1)
+            diag = (hoc == hcol).astype(x.dtype)
+            a_cat_mat = jnp.concatenate(
+                [diag * att_src.reshape(h * c)[:, None],
+                 diag * att_dst.reshape(h * c)[:, None]], axis=1)
+            dropout_masks = None
+            if self.dropout > 0 and not deterministic:
+                dropout_masks = make_banded_dropout_masks(
+                    self.make_rng("dropout"), self.dropout, n, k, h,
+                    banded.spill_dst_local_b.shape, wide=True)
+            out2 = ell_gat_fused_wide_pallas(
+                xh, a_cat_mat, el_w_b, el_self_t, m_edge, banded,
+                negative_slope=self.negative_slope,
+                compute_dtype=self.compute_dtype,
+                dropout_masks=dropout_masks,
+            )
+            out = out2.reshape(n, h, c)
+        elif self.use_pallas:
             from ..ops.pallas.ell_gat_fused import (ell_gat_band_part_pallas,
                                                     ell_gat_fused_pallas)
 
             # lane-clean streams from the STATIC transposed edge-attr
             # tables (N minor everywhere; an [N, K, H] el tensor would
-            # tile-pad 4 lanes to 128 — 32x physical HBM traffic)
+            # tile-pad 4 lanes to 128 — 32x physical HBM traffic).
+            # Dead/spilled slots (loc -1) arrive PREMASKED at ~NEG_BIG in
+            # the el stream itself (round 5): LeakyReLU keeps them at
+            # 0.2*NEG_BIG, which exp() flushes to 0 — so the kernels'
+            # batched [K*H, R] softmax chains need no per-slot
+            # where(loc >= 0) select, and the mask add fuses into the el
+            # einsum epilogue here.  The additive-constant vjp routes the
+            # (exactly zero) dead-slot cotangents straight to m_edge.
+            from ..ops.ell_banded import NEG_BIG
+
+            if banded.negmask_t.shape[0] == k * h:
+                negmask_t = banded.negmask_t.astype(x.dtype)
+            else:  # banded built for a different head count — rebuild
+                negmask_t = jnp.repeat(
+                    jnp.where(banded.loc_t < 0, jnp.float32(NEG_BIG), 0.0),
+                    h, axis=0).astype(x.dtype)              # [K*H, N]
             if m_edge is not None:
                 el_t = jnp.einsum("kfn,fh->khn", banded.eattr_t,
-                                  m_edge).reshape(k * h, n)
+                                  m_edge).reshape(k * h, n) + negmask_t
                 el_self_t = (m_edge.T @ banded.mean_attr_t
                              if self.add_self_loops else None)
             else:
-                el_t = jnp.zeros((k * h, n), x.dtype)
+                el_t = negmask_t
                 el_self_t = (jnp.zeros((h, n), x.dtype)
                              if self.add_self_loops else None)
             hoc = jax.lax.broadcasted_iota(jnp.int32, (h * c, h), 0) // c

@@ -96,6 +96,21 @@ class BandedEll:
     spill_red_jcount_d: jax.Array
     spill_perm_d: jax.Array       # [T*S_max] int32 argsort of dst key
     spill_dst_sorted: jax.Array   # [T*S_max] int32 dst key sorted
+    # dead/spilled slots premasked as an additive logit term (round 5):
+    # el_t = einsum(eattr_t, m_edge) + negmask_t keeps the fused kernels
+    # free of per-slot where(loc >= 0) selects — LeakyReLU maps NEG_BIG
+    # to 0.2*NEG_BIG and exp() flushes it to exact 0. Precomputed here so
+    # the per-step add fuses into the el einsum epilogue (computing the
+    # repeat+where per step cost ~0.5 ms/layer inside scanned training).
+    negmask_t: jax.Array          # [K*H, N] f32, 0 or NEG_BIG
+    # round-5 WIDE-kernel streams (ops/pallas/ell_gat_fused.py v3): the
+    # kernel works on per-band [K*R, ...] stacks, so the loc table is
+    # ALSO kept untransposed ([N, K] — the transposed one-hot builds from
+    # sublane-major loc columns), and the edge-attr table + dead mask are
+    # pre-interleaved to the band-wide lane order l = k*R + r.
+    loc_nb: jax.Array             # [N, K] int32 (= loc_t.T, contiguous)
+    eattr_wide_t: jax.Array       # [T, Fe, K*R]
+    negmask_wide: jax.Array       # [T, K*R] f32, 0 or NEG_BIG
     band_rows: int = dataclasses.field(metadata=dict(static=True))
     spill_red_maxj: int = dataclasses.field(default=1,
                                             metadata=dict(static=True))
@@ -115,7 +130,8 @@ def band_ell(g: EllGraph, band_rows: int = 128,
              spill_pad: int = 512,
              s_max: Optional[int] = None,
              max_j: Optional[int] = None,
-             max_j_d: Optional[int] = None) -> BandedEll:
+             max_j_d: Optional[int] = None,
+             heads: int = 4) -> BandedEll:
     """Host-side band/spill split of an EllGraph (Morton-ordered nodes).
 
     N must be a multiple of ``band_rows`` (EllGraphs are bucket-padded to
@@ -256,6 +272,17 @@ def band_ell(g: EllGraph, band_rows: int = 128,
         spill_red_jcount_d=jnp.asarray(red_jcount_d),
         spill_perm_d=jnp.asarray(spill_perm_d),
         spill_dst_sorted=jnp.asarray(dst_key_sorted),
+        negmask_t=jnp.asarray(
+            np.repeat(np.where(loc.T < 0, np.float32(NEG_BIG),
+                               np.float32(0.0)), heads, axis=0)),
+        loc_nb=jnp.asarray(np.ascontiguousarray(loc)),
+        eattr_wide_t=jnp.asarray(np.ascontiguousarray(
+            eattr.reshape(t_count, r, k, fe).transpose(0, 3, 2, 1)
+            .reshape(t_count, fe, k * r))),
+        negmask_wide=jnp.asarray(np.ascontiguousarray(
+            np.where(loc < 0, np.float32(NEG_BIG), np.float32(0.0))
+            .reshape(t_count, r, k).transpose(0, 2, 1)
+            .reshape(t_count, k * r))),
         band_rows=r,
         spill_red_maxj=maxj,
         spill_red_maxj_d=maxj_d,

@@ -53,6 +53,38 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _tile_sub(a, times):
+    """[H, R] -> [times*H, R] by doubling sublane concats (log2 steps)."""
+    if times == 1:
+        return a
+    half = _tile_sub(a, times // 2)
+    out = jnp.concatenate([half, half], axis=0)
+    if times % 2:
+        out = jnp.concatenate([out, a], axis=0)
+    return out
+
+
+def _reduce_sub(arr, heads, op):
+    """[K*H, R] -> [H, R]: pairwise tree over the K sublane groups.
+
+    With K*H a multiple of 8 the first splits land on vreg boundaries, so
+    the reduction is ~log2(K) full-vreg ops instead of K-1 half-vreg ones
+    (round-5 batched-chain rework)."""
+    k = arr.shape[0] // heads
+    tails = []
+    while k > 1:
+        if k % 2:
+            tails.append(arr[(k - 1) * heads:])
+            arr = arr[:(k - 1) * heads]
+            k -= 1
+        half = k // 2
+        arr = op(arr[:half * heads], arr[half * heads:])
+        k = half
+    for t in tails:
+        arr = op(arr, t)
+    return arr
+
+
 def _kernel(
     xw_a,        # [R, HC] window chunk t-1 (clamped)
     xw_b,        # [R, HC] window chunk t   (also the destination block)
@@ -264,7 +296,15 @@ def _kernel_v2(
     is the NORMALIZED aggregation (one division in-kernel); (c) optional
     streamed dropout multipliers apply to the post-softmax weights
     (PyG semantics: the denominator uses undropped weights), shared with
-    the backward kernel so fwd/bwd see the identical draw."""
+    the backward kernel so fwd/bwd see the identical draw.
+
+    Round-5 batched chains: all per-(slot, head) logit/softmax math runs
+    on full-sublane [K*H, R] stacks (the r4 per-slot [H=4, R] op chains
+    used half the sublanes and dominated issue slots); dead/spilled slots
+    arrive PREMASKED at ~NEG_BIG in the el stream (models/conv_ell.py),
+    so no per-slot where(loc >= 0) select survives. The one-hot gather
+    dots stay per-slot (MXU) but the attention-dot gather is slimmed to
+    the a_src half."""
     W = 3 * R
     f32 = jnp.float32
     HC = heads * C
@@ -280,36 +320,34 @@ def _kernel_v2(
 
     ac_t = jax.lax.dot_general(a_mat, xw, (((0,), (1,)), ((), ())),
                                preferred_element_type=f32)      # [2H, W]
-    ac_t_cd = ac_t.astype(xw.dtype)
+    ac_t_cd = ac_t.astype(xw.dtype)                             # [2H, W]
     a_dst_t = ac_t[heads:, R:2 * R]                             # [H, R]
+    KH = K * heads
 
     loc_v = loc[:]                                              # [K, R]
-    el_v = el[:].astype(f32)                                    # [K*H, R]
+    el_v = el[:].astype(f32)                                    # [KH, R]
     rows_w = jax.lax.broadcasted_iota(jnp.int32, (W, R), 0)
 
     onehots_t = []
-    lgs = []                                                    # [H, R] x K
+    g_rows = []                                                 # [H, R] x K
     for k in range(K):
         oh_t = (rows_w == loc_v[k:k + 1, :]).astype(xw.dtype)   # [W, R]
         onehots_t.append(oh_t)
-        g_ac = jnp.dot(ac_t_cd, oh_t,
-                       preferred_element_type=f32)              # [2H, R]
-        lg = leaky(g_ac[:heads] + a_dst_t + el_v[k * heads:(k + 1) * heads])
-        lgs.append(jnp.where(loc_v[k:k + 1, :] >= 0, lg, -1e30))
+        g_rows.append(jnp.dot(ac_t_cd, oh_t,
+                              preferred_element_type=f32)[:heads])  # [H, R]
+    g_all = jnp.concatenate(g_rows, axis=0)                     # [KH, R]
+    # dead/spilled slots ride el_v at ~NEG_BIG (premasked upstream);
+    # leaky keeps them ~0.2*NEG_BIG, exp() flushes them to exact 0
+    lg_all = leaky(g_all + _tile_sub(a_dst_t, K) + el_v)        # [KH, R]
 
     if has_self:
         self_lg = leaky(ac_t[:heads, R:2 * R] + a_dst_t + el_self[:])
-        m = self_lg
+        floor = self_lg
     else:
-        m = jnp.full((heads, R), -1e4, f32)
-    for k in range(K):
-        m = jnp.maximum(m, lgs[k])
-    denom = jnp.zeros((heads, R), f32)
-    exps = []
-    for k in range(K):
-        e = jnp.exp(lgs[k] - m)
-        exps.append(e)
-        denom = denom + e
+        floor = jnp.full((heads, R), -1e4, f32)
+    m = jnp.maximum(_reduce_sub(lg_all, heads, jnp.maximum), floor)
+    e_all = jnp.exp(lg_all - _tile_sub(m, K))                   # [KH, R]
+    denom = _reduce_sub(e_all, heads, jnp.add)
     if has_self:
         e_self = jnp.exp(self_lg - m)
         denom = denom + e_self
@@ -341,24 +379,24 @@ def _kernel_v2(
             w_hr, expand_mat, (((0,), (0,)), ((), ())),
             preferred_element_type=f32)
 
+    ew_all = e_all
     if has_dropout:
         dm = rest[0][:].astype(f32)               # [(K+1)*H, R]
         dm_sp = rest[1][0].astype(f32)            # [H, S]
         e_s = e_s * dm_sp
+        ew_all = e_all * dm[:KH]                  # one [KH, R] multiply
     out_ref = rest[-1]
     # weighted aggregation (dropout applies to weights, not the denom)
     if has_self:
-        w_self = e_self * dm[K * heads:] if has_dropout else e_self
+        w_self = e_self * dm[KH:] if has_dropout else e_self
         y = expand_heads(w_self) * xw_b[:].astype(f32)
     else:
         y = jnp.zeros((R, HC), f32)
     for k in range(K):
-        ek = exps[k] * dm[k * heads:(k + 1) * heads] if has_dropout \
-            else exps[k]
         g_x = jax.lax.dot_general(onehots_t[k], xw,
                                   (((0,), (0,)), ((), ())),
                                   preferred_element_type=f32)   # [R, HC]
-        y = y + expand_heads(ek) * g_x
+        y = y + expand_heads(ew_all[k * heads:(k + 1) * heads]) * g_x
     # spill messages: [R, S] @ ([S, HC] weighted) — MXU, no scatter.
     # lowp: bf16 inputs + f32 accumulation (one MXU pass instead of ~4)
     if lowp and not upcast_dots:
@@ -659,36 +697,34 @@ def _bwd_kernel_v2(
     # ---- forward recompute (identical to _kernel_v2) -------------------
     ac_t = jax.lax.dot_general(a_mat, xw, (((0,), (1,)), ((), ())),
                                preferred_element_type=f32)      # [2H, W]
-    ac_t_cd = ac_t.astype(xw.dtype)
+    ac_src_cd = ac_t[:heads].astype(xw.dtype)                   # [H, W]
     a_dst_t = ac_t[heads:, R:2 * R]
+    KH = K * heads
 
     loc_v = loc[:]
     el_v = el[:].astype(f32)
     rows_w = jax.lax.broadcasted_iota(jnp.int32, (W, R), 0)
 
-    onehots_t, pres, lgs = [], [], []
+    onehots_t = []
+    g_rows = []
     for k in range(K):
         oh_t = (rows_w == loc_v[k:k + 1, :]).astype(xw.dtype)
         onehots_t.append(oh_t)
-        g_ac = jnp.dot(ac_t_cd, oh_t, preferred_element_type=f32)
-        pre = g_ac[:heads] + a_dst_t + el_v[k * heads:(k + 1) * heads]
-        pres.append(pre)
-        lgs.append(jnp.where(loc_v[k:k + 1, :] >= 0, leaky(pre), -1e30))
+        g_rows.append(jnp.dot(ac_src_cd, oh_t,
+                              preferred_element_type=f32))      # [H, R]
+    g_all = jnp.concatenate(g_rows, axis=0)                     # [KH, R]
+    pre_all = g_all + _tile_sub(a_dst_t, K) + el_v              # [KH, R]
+    lg_all = leaky(pre_all)
 
     if has_self:
         pre_self = ac_t[:heads, R:2 * R] + a_dst_t + el_self[:]
         self_lg = leaky(pre_self)
-        m = self_lg
+        floor = self_lg
     else:
-        m = jnp.full((heads, R), -1e4, f32)
-    for k in range(K):
-        m = jnp.maximum(m, lgs[k])
-    denom = jnp.zeros((heads, R), f32)
-    exps = []
-    for k in range(K):
-        e = jnp.exp(lgs[k] - m)
-        exps.append(e)
-        denom = denom + e
+        floor = jnp.full((heads, R), -1e4, f32)
+    m = jnp.maximum(_reduce_sub(lg_all, heads, jnp.maximum), floor)
+    e_all = jnp.exp(lg_all - _tile_sub(m, K))                   # [KH, R]
+    denom = _reduce_sub(e_all, heads, jnp.add)
     if has_self:
         e_self = jnp.exp(self_lg - m)
         denom = denom + e_self
@@ -722,16 +758,16 @@ def _bwd_kernel_v2(
             preferred_element_type=f32)
 
     if has_dropout:
-        dmk = [dm_all[k * heads:(k + 1) * heads] for k in range(K)]
-        dms = dm_all[K * heads:]
+        dmk_all = dm_all[:KH]                                   # [KH, R]
+        dms = dm_all[KH:]
         dmsp = dm_sp
     else:
-        ones_hr = jnp.ones((heads, R), f32)
-        dmk = [ones_hr] * K
-        dms = ones_hr
+        dmk_all = None
+        dms = jnp.ones((heads, R), f32)
         dmsp = jnp.ones((heads, s_dim), f32)
+    ew_all = e_all * dmk_all if has_dropout else e_all          # [KH, R]
 
-    # ---- gradient math -------------------------------------------------
+    # ---- gradient math (round-5 batched [KH, R] chains) ---------------
     if lowp and not upcast_dots:
         cast = lambda t: t.astype(jnp.bfloat16)
     elif lowp:  # interpret emulation: round like the MXU would
@@ -744,17 +780,16 @@ def _bwd_kernel_v2(
     xw_b32 = xw_b[:].astype(f32)
     xh_sp = xh_spill[0].astype(f32)                             # [S, HC]
 
-    # per-slot feature gathers + A_k; accumulate ddenom pieces
-    gxs, As = [], []
-    sum_eA = jnp.zeros((heads, R), f32)
+    # per-slot feature gathers + A_k stack
+    gxs, a_rows = [], []
     for k in range(K):
         g_x = jax.lax.dot_general(onehots_t[k], xw,
                                   (((0,), (0,)), ((), ())),
                                   preferred_element_type=f32)   # [R, HC]
         gxs.append(g_x)
-        a_k = contract_heads(dy * g_x)                          # [H, R]
-        As.append(a_k)
-        sum_eA = sum_eA + exps[k] * dmk[k] * a_k
+        a_rows.append(contract_heads(dy * g_x))                 # [H, R]
+    A_all = jnp.concatenate(a_rows, axis=0)                     # [KH, R]
+    sum_eA = _reduce_sub(ew_all * A_all, heads, jnp.add)        # [H, R]
     if has_self:
         b_self = contract_heads(dy * xw_b32)                    # [H, R]
         sum_eA = sum_eA + e_self * dms * b_self
@@ -762,7 +797,7 @@ def _bwd_kernel_v2(
     dM = jax.lax.dot_general(cast(oh_rs), cast(dy),
                              (((0,), (0,)), ((), ())),
                              preferred_element_type=f32)        # [S, HC]
-    c_s = contract_heads(dM * xh_sp)                            # hmm: [H, S]
+    c_s = contract_heads(dM * xh_sp)                            # [H, S]
     sc_sp = jax.lax.dot_general(e_s * dmsp * c_s, oh_rs,
                                 (((1,), (1,)), ((), ())),
                                 preferred_element_type=f32)     # [H, R]
@@ -770,21 +805,19 @@ def _bwd_kernel_v2(
 
     ddenom = -sum_eA * inv_d                                    # [H, R]
 
-    # in-band slots
+    # in-band slots: one [KH, R] chain for the attention-weight gradients
+    de_all = (dmk_all * A_all if has_dropout else A_all) \
+        + _tile_sub(ddenom, K)
+    dl_all = (e_all * de_all) * dleaky(pre_all)                 # [KH, R]
+    dl_sum = _reduce_sub(dl_all, heads, jnp.add)
     dac_src = jnp.zeros((heads, W), f32)
-    dl_sum = jnp.zeros((heads, R), f32)
     dxw = jnp.zeros((W, HC), f32)
-    del_rows = []
     for k in range(K):
-        de_k = dmk[k] * As[k] + ddenom
-        dlg_k = exps[k] * de_k
-        dl_k = dlg_k * dleaky(pres[k])                          # [H, R]
-        del_rows.append(dl_k)
-        dl_sum = dl_sum + dl_k
         dac_src = dac_src + jax.lax.dot_general(
-            dl_k, onehots_t[k].astype(f32), (((1,), (1,)), ((), ())),
+            dl_all[k * heads:(k + 1) * heads], onehots_t[k].astype(f32),
+            (((1,), (1,)), ((), ())),
             preferred_element_type=f32)                         # [H, W]
-        dgx_k = expand_heads(exps[k] * dmk[k]) * dy             # [R, HC]
+        dgx_k = expand_heads(ew_all[k * heads:(k + 1) * heads]) * dy
         dxw = dxw + jax.lax.dot_general(
             cast(onehots_t[k].astype(f32)), cast(dgx_k),
             (((1,), (0,)), ((), ())),
@@ -831,7 +864,7 @@ def _bwd_kernel_v2(
     dxh_spill_ref[:] = (expand_heads(e_s * dmsp) * dM)[None].astype(
         dxh_spill_ref.dtype)
 
-    del_ref[:] = jnp.concatenate(del_rows, axis=0).astype(del_ref.dtype)
+    del_ref[:] = dl_all.astype(del_ref.dtype)
     dxa_ref[:] = dxw[:R].astype(dxa_ref.dtype)
     dxb_ref[:] = dxw[R:2 * R].astype(dxb_ref.dtype)
     dxc_ref[:] = dxw[2 * R:].astype(dxc_ref.dtype)
@@ -986,3 +1019,730 @@ def _fused_v2_fwd(statics, *args):
 
 
 _fused_v2.defvjp(_fused_v2_fwd, _run_fused_v2_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 WIDE kernels (v3): one [K*R, ...] stack per band instead of K
+# per-slot op groups.
+#
+# The v2 kernels issue ~46 small MXU dots per band in the backward (K each
+# of: attention-dot gathers, feature gathers, dac scatters, dxw scatters,
+# head contractions/expansions) — profiled dispatch-bound, not FLOP-bound
+# (3.34 ms bwd vs a ~1.2 ms MXU floor on the 65k/k=8 workload). v3 builds
+# ONE transposed one-hot [K*R, W] per band (row-stacked from the natural
+# [N, K] loc layout, so the stack is a free aligned concat) and runs the
+# gather, scatter, attention-projection and head-contraction as single
+# wide MXU dots; softmax/gradient chains run on [H, K*R] lane stacks.
+#
+# The spill path is also folded further (VERDICT r4 item 5): a_src of
+# spill sources is computed IN-KERNEL from the already-streamed xh_spill
+# rows (a_src = xh @ a_mat is linear, so gather-then-project ==
+# project-then-gather), and a_dst of spill destinations is gathered
+# in-kernel from the band's own attention dots via the dst one-hot — the
+# two narrow [N->S, 4-lane] XLA row gathers and their backward
+# segment-reduce scatters disappear entirely; the only XLA-side spill
+# work left is the wide xh row gather and the el-logit einsum.
+# ---------------------------------------------------------------------------
+
+
+def _tile_lane(a, times):
+    """[H, R] -> [H, times*R] by doubling lane concats."""
+    if times == 1:
+        return a
+    half = _tile_lane(a, times // 2)
+    out = jnp.concatenate([half, half], axis=1)
+    if times % 2:
+        out = jnp.concatenate([out, a], axis=1)
+    return out
+
+
+def _reduce_lane(arr, r, op):
+    """[H, K*R] -> [H, R]: pairwise tree over the K lane groups."""
+    k = arr.shape[1] // r
+    tails = []
+    while k > 1:
+        if k % 2:
+            tails.append(arr[:, (k - 1) * r:])
+            arr = arr[:, :(k - 1) * r]
+            k -= 1
+        half = k // 2
+        arr = op(arr[:, :half * r], arr[:, half * r:])
+        k = half
+    for t in tails:
+        arr = op(arr, t)
+    return arr
+
+
+def _kernel_v3(
+    xw_a,        # [R, HC] window chunk t-1 (clamped)
+    xw_b,        # [R, HC] window chunk t   (also the destination block)
+    xw_c,        # [R, HC] window chunk t+1 (clamped)
+    a_cat_mat,   # [HC, 2H] block-diag [att_src | att_dst] matrix
+    loc_nb,      # [R, K] int32 local window index (-1 dead/spill)
+    el_w,        # [1, H, K*R] edge-attr logits, band-wide lane order,
+                 # dead/spilled slots premasked at ~NEG_BIG
+    el_self,     # [H, R] self-loop edge logit part
+    el_sp,       # [1, H, S] spill edge-attr logits (-1e30 dead slots)
+    xh_spill,    # [1, S, HC] gathered spill source features
+    dst_loc,     # [1, 1, S] int32 local dst row of each spill (-1 dead)
+    *rest,       # optional ([1, H, (K+1)*R], [1, H, S]) dropout
+                 # multipliers, then out_ref [R, HC]
+    R: int,
+    K: int,
+    heads: int,
+    C: int,
+    negative_slope: float,
+    has_self: bool,
+    upcast_dots: bool,
+    has_dropout: bool,
+    lowp: bool = False,
+):
+    W = 3 * R
+    f32 = jnp.float32
+    HC = heads * C
+    KR = K * R
+
+    def leaky(v):
+        return jnp.where(v >= 0, v, negative_slope * v)
+
+    xw = jnp.concatenate([xw_a[:], xw_b[:], xw_c[:]], axis=0)   # [W, HC]
+    a_mat = a_cat_mat[:]
+    if upcast_dots:
+        xw = xw.astype(f32)
+        a_mat = a_mat.astype(f32)
+    a_mat32 = a_mat.astype(f32)
+
+    # center attention dots (self a_src + all a_dst): [2H, R]
+    ac_c = jax.lax.dot_general(a_mat, xw_b[:].astype(xw.dtype),
+                               (((0,), (1,)), ((), ())),
+                               preferred_element_type=f32)
+    a_dst_t = ac_c[heads:]                                      # [H, R]
+
+    # transposed one-hot stack [K*R, W]: row k*R+r selects window column
+    # loc[r, k]; rows for dead/spilled slots (-1) are all-zero
+    loc_v = loc_nb[:]                                           # [R, K]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    ohT = jnp.concatenate(
+        [(loc_v[:, k:k + 1] == iota_w).astype(xw.dtype) for k in range(K)],
+        axis=0)                                                 # [KR, W]
+    # ALL K feature gathers as one wide MXU dot
+    g_x_all = jax.lax.dot_general(ohT, xw, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32)   # [KR, HC]
+    # a_src of every gathered neighbor: project the gathered rows (linear,
+    # so identical to gathering precomputed dots) — [2H, KR], src half used
+    g2 = jax.lax.dot_general(a_mat32, g_x_all, (((0,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    lg_w = leaky(g2[:heads] + _tile_lane(a_dst_t, K)
+                 + el_w[0].astype(f32))                         # [H, KR]
+
+    if has_self:
+        self_lg = leaky(ac_c[:heads] + a_dst_t + el_self[:])
+        floor = self_lg
+    else:
+        floor = jnp.full((heads, R), -1e4, f32)
+    m = jnp.maximum(_reduce_lane(lg_w, R, jnp.maximum), floor)  # [H, R]
+    e_w = jnp.exp(lg_w - _tile_lane(m, K))                      # [H, KR]
+    denom = _reduce_lane(e_w, R, jnp.add)
+    if has_self:
+        e_self = jnp.exp(self_lg - m)
+        denom = denom + e_self
+    denom = jnp.maximum(denom, 1e-16)
+
+    # ---- spill fold: logits fully in-kernel ---------------------------
+    dloc = dst_loc[0, 0, :]                                     # [S]
+    s_dim = dloc.shape[0]
+    rows_r = jax.lax.broadcasted_iota(jnp.int32, (R, s_dim), 0)
+    oh_rs = (rows_r == dloc[None, :]).astype(f32)               # [R, S]
+    xh_sp_cd = xh_spill[0]                                      # [S, HC] cd
+    if upcast_dots:
+        xh_sp_cd = xh_sp_cd.astype(f32)
+    a_sp2 = jax.lax.dot_general(a_mat, xh_sp_cd, (((0,), (1,)), ((), ())),
+                                preferred_element_type=f32)     # [2H, S]
+    a_dst_sp = jax.lax.dot_general(a_dst_t, oh_rs, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)  # [H, S]
+    pre_sp = a_sp2[:heads] + a_dst_sp + el_sp[0].astype(f32)    # [H, S]
+    l_s = leaky(pre_sp)
+    m_s = jax.lax.dot_general(m, oh_rs, (((1,), (0,)), ((), ())),
+                              preferred_element_type=f32)       # [H, S]
+    e_s = jnp.exp(jnp.minimum(l_s - m_s, 60.0))                 # [H, S]
+    denom_sp = jax.lax.dot_general(e_s, oh_rs, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)  # [H, R]
+    denom_tot = denom + denom_sp
+
+    head_of_col = jax.lax.broadcasted_iota(jnp.int32, (heads, HC), 1) // C
+    head_row = jax.lax.broadcasted_iota(jnp.int32, (heads, HC), 0)
+    expand_mat = (head_of_col == head_row).astype(f32)
+
+    def expand_heads(w_hr):                       # [H, n] -> [n, HC]
+        return jax.lax.dot_general(
+            w_hr, expand_mat, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    ew = e_w
+    if has_dropout:
+        dm = rest[0][0].astype(f32)               # [H, (K+1)*R]
+        dm_sp = rest[1][0].astype(f32)            # [H, S]
+        e_s = e_s * dm_sp
+        ew = e_w * dm[:, :KR]
+    out_ref = rest[-1]
+    if has_self:
+        w_self = e_self * dm[:, KR:] if has_dropout else e_self
+        y = expand_heads(w_self) * xw_b[:].astype(f32)
+    else:
+        y = jnp.zeros((R, HC), f32)
+    # y accumulation: at wide HC one expand dot + multiply + pairwise
+    # tree wins (per-slot expand dots were ~half the fwd dispatches); at
+    # narrow HC the [KR, HC] msgs materialization costs more than the
+    # saved dispatches (measured 949 -> 1110 us at HC=64), so keep the
+    # fused per-slot multiply-accumulate there.
+    if HC >= 128:
+        msgs = expand_heads(ew) * g_x_all                       # [KR, HC]
+        y = y + _reduce_sub(msgs, R, jnp.add)
+    else:
+        for k in range(K):
+            y = y + (expand_heads(ew[:, k * R:(k + 1) * R])
+                     * g_x_all[k * R:(k + 1) * R])
+    if lowp and not upcast_dots:
+        spcast = lambda t: t.astype(jnp.bfloat16)
+    elif lowp:
+        spcast = lambda t: t.astype(jnp.bfloat16).astype(f32)
+    else:
+        spcast = lambda t: t
+    msg_sp = expand_heads(e_s) * xh_spill[0].astype(f32)        # [S, HC]
+    y = y + jax.lax.dot_general(spcast(oh_rs), spcast(msg_sp),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32)     # [R, HC]
+
+    out_ref[:] = (y * expand_heads(1.0 / denom_tot)).astype(out_ref.dtype)
+
+
+def _bwd_kernel_v3(
+    xw_a, xw_b, xw_c,       # [R, HC] window chunks (as forward)
+    a_cat_mat,              # [HC, 2H]
+    loc_nb,                 # [R, K]
+    el_w,                   # [1, H, K*R]
+    el_self,                # [H, R]
+    el_sp,                  # [1, H, S]
+    xh_spill,               # [1, S, HC]
+    dst_loc,                # [1, 1, S]
+    *rest,                  # optional (dm [1, H, (K+1)*R], dm_sp
+                            # [1, H, S]), then dout [R, HC], then the 6
+                            # output refs (dxh, del_w, del_self, del_sp,
+                            # dxh_spill, da_mat) and 2 VMEM scratch refs
+                            # (pend, cxc_hold) for the lagged combine
+    R: int,
+    K: int,
+    heads: int,
+    C: int,
+    negative_slope: float,
+    has_self: bool,
+    upcast_dots: bool,
+    has_dropout: bool,
+    T: int = 0,
+    lowp: bool = False,
+):
+    """Backward of _kernel_v3, flash-style recompute. m is constant (see
+    _bwd_kernel_v2 docstring); the attention-projection gradients flow
+    through g_x_all/xh_spill instead of a window-level dac_src — v3
+    computes a_src by projecting gathered rows, so d(a_src-path) lands on
+    the gathered features and rides the SAME wide scatter dot as the
+    message-path cotangent."""
+    W = 3 * R
+    f32 = jnp.float32
+    HC = heads * C
+    KR = K * R
+
+    def leaky(v):
+        return jnp.where(v >= 0, v, negative_slope * v)
+
+    def dleaky(v):
+        return jnp.where(v >= 0, 1.0, negative_slope)
+
+    if has_dropout:
+        dm_in = rest[0][0].astype(f32)            # [H, (K+1)*R]
+        dm_sp = rest[1][0].astype(f32)            # [H, S]
+        rest = rest[2:]
+    dout = rest[0]
+    (dxh_ref, del_w_ref, del_self_ref, del_sp_ref,
+     dxh_spill_ref, da_mat_ref, pend_ref, cxc_ref) = rest[1:9]
+
+    xw = jnp.concatenate([xw_a[:], xw_b[:], xw_c[:]], axis=0)   # [W, HC]
+    a_mat = a_cat_mat[:]
+    if upcast_dots:
+        xw = xw.astype(f32)
+        a_mat = a_mat.astype(f32)
+    a_mat32 = a_mat.astype(f32)
+
+    # ---- forward recompute (identical to _kernel_v3) -------------------
+    ac_c = jax.lax.dot_general(a_mat, xw_b[:].astype(xw.dtype),
+                               (((0,), (1,)), ((), ())),
+                               preferred_element_type=f32)      # [2H, R]
+    a_dst_t = ac_c[heads:]
+
+    loc_v = loc_nb[:]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    ohT = jnp.concatenate(
+        [(loc_v[:, k:k + 1] == iota_w).astype(xw.dtype) for k in range(K)],
+        axis=0)                                                 # [KR, W]
+    g_x_all = jax.lax.dot_general(ohT, xw, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32)   # [KR, HC]
+    g2 = jax.lax.dot_general(a_mat32, g_x_all, (((0,), (1,)), ((), ())),
+                             preferred_element_type=f32)        # [2H, KR]
+    pre_w = g2[:heads] + _tile_lane(a_dst_t, K) + el_w[0].astype(f32)
+    lg_w = leaky(pre_w)
+
+    if has_self:
+        pre_self = ac_c[:heads] + a_dst_t + el_self[:]
+        self_lg = leaky(pre_self)
+        floor = self_lg
+    else:
+        floor = jnp.full((heads, R), -1e4, f32)
+    m = jnp.maximum(_reduce_lane(lg_w, R, jnp.maximum), floor)
+    e_w = jnp.exp(lg_w - _tile_lane(m, K))
+    denom = _reduce_lane(e_w, R, jnp.add)
+    if has_self:
+        e_self = jnp.exp(self_lg - m)
+        denom = denom + e_self
+    denom = jnp.maximum(denom, 1e-16)
+
+    dloc = dst_loc[0, 0, :]
+    s_dim = dloc.shape[0]
+    rows_r = jax.lax.broadcasted_iota(jnp.int32, (R, s_dim), 0)
+    oh_rs = (rows_r == dloc[None, :]).astype(f32)               # [R, S]
+    xh_sp_cd = xh_spill[0]
+    if upcast_dots:
+        xh_sp_cd = xh_sp_cd.astype(f32)
+    a_sp2 = jax.lax.dot_general(a_mat, xh_sp_cd, (((0,), (1,)), ((), ())),
+                                preferred_element_type=f32)     # [2H, S]
+    a_dst_sp = jax.lax.dot_general(a_dst_t, oh_rs, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+    pre_sp = a_sp2[:heads] + a_dst_sp + el_sp[0].astype(f32)
+    l_s = leaky(pre_sp)
+    m_s = jax.lax.dot_general(m, oh_rs, (((1,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    e_s = jnp.exp(jnp.minimum(l_s - m_s, 60.0))                 # [H, S]
+    denom_sp = jax.lax.dot_general(e_s, oh_rs, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+    denom_tot = denom + denom_sp
+    inv_d = 1.0 / denom_tot                                     # [H, R]
+
+    head_of_col = jax.lax.broadcasted_iota(jnp.int32, (heads, HC), 1) // C
+    head_row = jax.lax.broadcasted_iota(jnp.int32, (heads, HC), 0)
+    expand_mat = (head_of_col == head_row).astype(f32)
+
+    def expand_heads(w_hr):                       # [H, n] -> [n, HC]
+        return jax.lax.dot_general(
+            w_hr, expand_mat, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    def contract_heads(v_nhc):                    # [n, HC] -> [H, n]
+        return jax.lax.dot_general(
+            expand_mat, v_nhc, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+
+    if not has_dropout:
+        dm_in = jnp.ones((heads, (K + 1) * R), f32)
+        dm_sp = jnp.ones((heads, s_dim), f32)
+    dmk = dm_in[:, :KR]
+    dms = dm_in[:, KR:]
+    ew = e_w * dmk                                              # [H, KR]
+
+    # ---- gradient math -------------------------------------------------
+    if lowp and not upcast_dots:
+        cast = lambda t: t.astype(jnp.bfloat16)
+    elif lowp:
+        cast = lambda t: t.astype(jnp.bfloat16).astype(f32)
+    else:
+        cast = lambda t: t
+    u = dout[:].astype(f32)                                     # [R, HC]
+    dy = u * expand_heads(inv_d)                                # [R, HC]
+    xw_b32 = xw_b[:].astype(f32)
+    xh_sp32 = xh_spill[0].astype(f32)
+
+    # A[h, k*R+r] = sum_c dy[r, hC+c] * g_x_all[kR+r, hC+c]
+    dy_rep = _tile_sub(dy, K)                                   # [KR, HC]
+    A2 = contract_heads(dy_rep * g_x_all)                       # [H, KR]
+    sum_eA = _reduce_lane(ew * A2, R, jnp.add)                  # [H, R]
+    if has_self:
+        b_self = contract_heads(dy * xw_b32)                    # [H, R]
+        sum_eA = sum_eA + e_self * dms * b_self
+    dM = jax.lax.dot_general(cast(oh_rs), cast(dy),
+                             (((0,), (0,)), ((), ())),
+                             preferred_element_type=f32)        # [S, HC]
+    c_s = contract_heads(dM * xh_sp32)                          # [H, S]
+    sum_eA = sum_eA + jax.lax.dot_general(
+        e_s * dm_sp * c_s, oh_rs, (((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
+
+    ddenom = -sum_eA * inv_d                                    # [H, R]
+
+    de_w = dmk * A2 + _tile_lane(ddenom, K)
+    dl_w = (e_w * de_w) * dleaky(pre_w)                         # [H, KR]
+    dl_sum = _reduce_lane(dl_w, R, jnp.add)                     # [H, R]
+
+    # spill logit cotangents (leaky now lives in-kernel)
+    de_s = dm_sp * c_s + jax.lax.dot_general(
+        ddenom, oh_rs, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32)                             # [H, S]
+    dl_pre_sp = (e_s * de_s) * dleaky(pre_sp)                   # [H, S]
+    ddst_sp = jax.lax.dot_general(dl_pre_sp, oh_rs,
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32)   # [H, R]
+    dl_sum = dl_sum + ddst_sp
+
+    # feature-path cotangents for the gathered rows: message path
+    # (softmax-weighted dy) + attention path (a_src projection backward)
+    dgx = expand_heads(ew) * dy_rep                             # [KR, HC]
+    dgx = dgx + jax.lax.dot_general(
+        dl_w, a_mat32[:, :heads], (((0,), (1,)), ((), ())),
+        preferred_element_type=f32)                             # [KR, HC]
+    dxw = jax.lax.dot_general(cast(ohT.astype(f32)), cast(dgx),
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)       # [W, HC]
+
+    # center-row extras: ac_c backward + self message
+    if has_self:
+        de_self = dms * b_self + ddenom
+        dl_self = (e_self * de_self) * dleaky(pre_self)         # [H, R]
+        dl_sum_c = dl_sum + dl_self
+        dxb_extra = expand_heads(e_self * dms) * dy             # [R, HC]
+    else:
+        dl_self = jnp.zeros((heads, R), f32)
+        dl_sum_c = dl_sum
+        dxb_extra = jnp.zeros((R, HC), f32)
+    dac_c = jnp.concatenate([dl_self, dl_sum_c], axis=0)        # [2H, R]
+    dxb_extra = dxb_extra + jax.lax.dot_general(
+        cast(dac_c), cast(a_mat32), (((0,), (1,)), ((), ())),
+        preferred_element_type=f32)                             # [R, HC]
+
+    # spill feature cotangent: message path + a_src projection path
+    dxh_sp = expand_heads(e_s * dm_sp) * dM + jax.lax.dot_general(
+        dl_pre_sp, a_mat32[:, :heads], (((0,), (1,)), ((), ())),
+        preferred_element_type=f32)                             # [S, HC]
+
+    # da_mat: center-dot part + src-projection parts (g_x_all / xh_spill)
+    da_mat_part = jax.lax.dot_general(
+        xw_b32, dac_c, (((0,), (1,)), ((), ())),
+        preferred_element_type=f32)                             # [HC, 2H]
+    da_src = jax.lax.dot_general(
+        g_x_all, dl_w, (((0,), (1,)), ((), ())),
+        preferred_element_type=f32) + jax.lax.dot_general(
+        xh_sp32, dl_pre_sp, (((0,), (1,)), ((), ())),
+        preferred_element_type=f32)                             # [HC, H]
+    da_mat_part = da_mat_part + jnp.concatenate(
+        [da_src, jnp.zeros((HC, heads), f32)], axis=1)
+
+    # ---- lagged dxh accumulation (round 5) ----------------------------
+    # Band s contributes to window chunks s-1 / s / s+1; instead of
+    # emitting three [N, HC] streams and paying an XLA shift-add fusion
+    # (~300 us/layer at 65k), the sequential grid runs ONE extra step and
+    # emits dxh[s-1] = cxc(band s-2) + cxb(band s-1) + cxa(band s) from
+    # two VMEM scratch buffers. Chunk 0 gets no cxa from band 0 (its
+    # window clamps: j=0 slots can't exist) so the s=0 write into block 0
+    # is placeholder data, overwritten at s=1 before the block's DMA-out.
+    # All other output blocks revisit their s=T-1 index at the final step
+    # and are simply not rewritten (VMEM content is retained).
+    s = pl.program_id(0)
+    cxa = dxw[:R]
+    cxb = dxw[R:2 * R] + dxb_extra
+    cxc = dxw[2 * R:]
+
+    @pl.when(s < T)
+    def _():
+        del_w_ref[:] = dl_w[None].astype(del_w_ref.dtype)
+        del_sp_ref[:] = dl_pre_sp[None].astype(del_sp_ref.dtype)
+        if has_self:
+            del_self_ref[:] = dl_self.astype(del_self_ref.dtype)
+        else:
+            del_self_ref[:] = jnp.zeros((heads, R), del_self_ref.dtype)
+        dxh_spill_ref[:] = dxh_sp[None].astype(dxh_spill_ref.dtype)
+
+    @pl.when(s == 0)
+    def _():
+        dxh_ref[:] = cxa.astype(dxh_ref.dtype)
+        pend_ref[:] = cxb
+        cxc_ref[:] = cxc
+        da_mat_ref[:] = da_mat_part.astype(da_mat_ref.dtype)
+
+    @pl.when(jnp.logical_and(s > 0, s < T))
+    def _():
+        dxh_ref[:] = (pend_ref[:] + cxa).astype(dxh_ref.dtype)
+        pend_ref[:] = cxb + cxc_ref[:]
+        cxc_ref[:] = cxc
+        da_mat_ref[:] = da_mat_ref[:] + da_mat_part.astype(da_mat_ref.dtype)
+
+    @pl.when(s == T)
+    def _():
+        dxh_ref[:] = pend_ref[:].astype(dxh_ref.dtype)
+
+
+def _v3_specs_args(xcd, a_cat_mat, loc_nb, el_w_b, el_self_t, el_sp_b,
+                   xh_spill_b, dst_loc_b, dm_w, dm_sp_b, *, r, hc, k,
+                   heads, s_max, t_count, cd, has_dropout,
+                   pad_grid=False):
+    # pad_grid: the backward grid runs one EXTRA step for the lagged dxh
+    # combine; every input index map clamps to the last band there (the
+    # loaded block is unused).
+    if pad_grid:
+        gi = lambda t: jnp.minimum(t, t_count - 1)
+    else:
+        gi = lambda t: t
+
+    def clampm1(t):
+        return jnp.maximum(gi(t) - 1, 0)
+
+    def clampp1(t):
+        return jnp.minimum(gi(t) + 1, t_count - 1)
+
+    in_specs = [
+        pl.BlockSpec((r, hc), lambda t: (clampm1(t), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, hc), lambda t: (gi(t), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, hc), lambda t: (clampp1(t), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, k), lambda t: (gi(t), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, heads, k * r), lambda t: (gi(t), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, r), lambda t: (0, gi(t)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, heads, s_max), lambda t: (gi(t), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s_max, hc), lambda t: (gi(t), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, s_max), lambda t: (gi(t), 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xcd, xcd, xcd, a_cat_mat.astype(cd), loc_nb, el_w_b,
+            el_self_t, el_sp_b, xh_spill_b.astype(cd), dst_loc_b]
+    if has_dropout:
+        in_specs.append(pl.BlockSpec((1, heads, (k + 1) * r),
+                                     lambda t: (gi(t), 0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, heads, s_max),
+                                     lambda t: (gi(t), 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.extend([dm_w, dm_sp_b])
+    return in_specs, args
+
+
+def _run_fused_v3_forward(statics, xh_flat, a_cat_mat, loc_nb, el_w_b,
+                          el_self_t, el_sp_b, xh_spill_b, dst_loc_b,
+                          dm_w, dm_sp_b):
+    (band_rows, heads, negative_slope, has_self, has_dropout,
+     compute_dtype, interpret) = statics
+    n, hc = xh_flat.shape
+    r = band_rows
+    t_count = n // r
+    k = loc_nb.shape[1]
+    c = hc // heads
+    s_max = dst_loc_b.shape[-1]
+    cd = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
+    kern = functools.partial(
+        _kernel_v3, R=r, K=k, heads=heads, C=c,
+        negative_slope=negative_slope, has_self=has_self,
+        has_dropout=has_dropout,
+        upcast_dots=interpret and compute_dtype == "bfloat16",
+        lowp=compute_dtype == "bfloat16",
+    )
+    xcd = xh_flat.astype(cd)
+    in_specs, args = _v3_specs_args(
+        xcd, a_cat_mat, loc_nb, el_w_b, el_self_t, el_sp_b, xh_spill_b,
+        dst_loc_b, dm_w, dm_sp_b, r=r, hc=hc, k=k, heads=heads,
+        s_max=s_max, t_count=t_count, cd=cd, has_dropout=has_dropout)
+    out = pl.pallas_call(
+        kern,
+        grid=(t_count,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((r, hc), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, hc), cd),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out
+
+
+def _run_fused_v3_bwd(statics, res, g):
+    (band_rows, heads, negative_slope, has_self, has_dropout,
+     compute_dtype, interpret) = statics
+    (xh_flat, a_cat_mat, loc_nb, el_w_b, el_self_t, el_sp_b,
+     xh_spill_b, dst_loc_b, dm_w, dm_sp_b) = res
+    n, hc = xh_flat.shape
+    r = band_rows
+    t_count = n // r
+    k = loc_nb.shape[1]
+    c = hc // heads
+    s_max = dst_loc_b.shape[-1]
+    cd = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
+    kern = functools.partial(
+        _bwd_kernel_v3, R=r, K=k, heads=heads, C=c,
+        negative_slope=negative_slope, has_self=has_self,
+        has_dropout=has_dropout,
+        upcast_dots=interpret and compute_dtype == "bfloat16",
+        T=t_count,
+        lowp=compute_dtype == "bfloat16",
+    )
+    xcd = xh_flat.astype(cd)
+    in_specs, args = _v3_specs_args(
+        xcd, a_cat_mat, loc_nb, el_w_b, el_self_t, el_sp_b, xh_spill_b,
+        dst_loc_b, dm_w, dm_sp_b, r=r, hc=hc, k=k, heads=heads,
+        s_max=s_max, t_count=t_count, cd=cd, has_dropout=has_dropout,
+        pad_grid=True)
+    in_specs.append(pl.BlockSpec(
+        (r, hc), lambda t: (jnp.minimum(t, t_count - 1), 0),
+        memory_space=pltpu.VMEM))
+    args.append(g.astype(cd))
+
+    f32 = jnp.float32
+    gi = lambda t: jnp.minimum(t, t_count - 1)
+    out_specs = (
+        # dxh: lagged by one step (block s-1 emitted at step s)
+        pl.BlockSpec((r, hc), lambda t: (jnp.maximum(t - 1, 0), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, heads, k * r), lambda t: (gi(t), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, r), lambda t: (0, gi(t)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, heads, s_max), lambda t: (gi(t), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s_max, hc), lambda t: (gi(t), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hc, 2 * heads), lambda t: (0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((n, hc), cd),             # dxh (combined)
+        jax.ShapeDtypeStruct((t_count, heads, k * r), f32),   # del_w
+        jax.ShapeDtypeStruct((heads, n), f32),         # del_self_t
+        jax.ShapeDtypeStruct((t_count, heads, s_max), f32),   # del_sp
+        jax.ShapeDtypeStruct((t_count, s_max, hc), f32),      # dxh_spill
+        jax.ShapeDtypeStruct((hc, 2 * heads), f32),    # da_cat_mat
+    )
+    dxh, del_w, del_self_t, del_sp_b, dxh_spill_b, da_mat = (
+        pl.pallas_call(
+            kern,
+            grid=(t_count + 1,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((r, hc), f32),
+                            pltpu.VMEM((r, hc), f32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*args)
+    )
+    return (dxh.astype(xh_flat.dtype), da_mat.astype(a_cat_mat.dtype),
+            _float0_zeros(loc_nb), del_w.astype(el_w_b.dtype),
+            del_self_t.astype(el_self_t.dtype),
+            del_sp_b.astype(el_sp_b.dtype),
+            dxh_spill_b.astype(xh_spill_b.dtype),
+            _float0_zeros(dst_loc_b),
+            jnp.zeros_like(dm_w), jnp.zeros_like(dm_sp_b))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_v3(statics, xh_flat, a_cat_mat, loc_nb, el_w_b, el_self_t,
+              el_sp_b, xh_spill_b, dst_loc_b, dm_w, dm_sp_b):
+    return _run_fused_v3_forward(
+        statics, xh_flat, a_cat_mat, loc_nb, el_w_b, el_self_t,
+        el_sp_b, xh_spill_b, dst_loc_b, dm_w, dm_sp_b)
+
+
+def _fused_v3_fwd(statics, *args):
+    return _run_fused_v3_forward(statics, *args), args
+
+
+_fused_v3.defvjp(_fused_v3_fwd, _run_fused_v3_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("band_rows", "heads", "negative_slope", "has_self",
+                     "has_dropout", "compute_dtype", "interpret"),
+)
+def _fused_call_v3(xh_flat, a_cat_mat, loc_nb, el_w_b, el_self_t,
+                   el_sp_b, xh_spill_b, dst_loc_b, dm_w, dm_sp_b, *,
+                   band_rows: int, heads: int, negative_slope: float,
+                   has_self: bool, has_dropout: bool, compute_dtype: str,
+                   interpret: bool):
+    statics = (band_rows, heads, negative_slope, has_self, has_dropout,
+               compute_dtype, interpret)
+    if dm_w is None:  # custom_vjp needs concrete (dummy) mask args
+        dm_w = jnp.zeros((1, 1, 1), jnp.float32)
+        dm_sp_b = jnp.zeros((1, 1, 1), jnp.float32)
+    return _fused_v3(statics, xh_flat, a_cat_mat, loc_nb, el_w_b,
+                     el_self_t, el_sp_b, xh_spill_b, dst_loc_b,
+                     dm_w, dm_sp_b)
+
+
+def ell_gat_fused_wide_pallas(
+    xh: jax.Array,          # [N, H, C] transformed features
+    a_cat_mat: jax.Array,   # [HC, 2H] block-diag [att_src | att_dst]
+    el_w_b: jax.Array,      # [T, H, K*R] edge logits, wide lane order,
+                            # dead/spilled slots premasked at ~NEG_BIG
+    el_self_t: Optional[jax.Array],     # [H, N] or None
+    m_edge: Optional[jax.Array],        # [Fe, H] edge-logit matrix
+    banded: BandedEll,
+    negative_slope: float = 0.2,
+    compute_dtype: str = "float32",
+    dropout_masks: Optional[Tuple[jax.Array, jax.Array]] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Round-5 WIDE fused banded GAT layer (see the v3 kernel banner).
+
+    Only ONE XLA-side gather remains (the spill rows' features); spill
+    attention logits are assembled in-kernel from that gather and the
+    band's own attention dots. ``dropout_masks``: optional
+    ([T, H, (K+1)*R], [T, H, S_max]) wide-layout post-softmax weight
+    multipliers (make_banded_dropout_masks(..., wide=True)).
+
+    Replaces reference capability: PyG GATConv scatter/gather kernels
+    (reference: models/gnn.py:120-143)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    n, h_dim, c = xh.shape
+    hc = h_dim * c
+    xh_flat = xh.reshape(n, hc)
+    has_self = el_self_t is not None
+    if el_self_t is None:
+        el_self_t = jnp.zeros((h_dim, n), xh.dtype)
+
+    from ..ell_banded import NEG_BIG, gather_rows_reduce_bwd
+
+    t_count, s_max = banded.spill_src_b.shape
+    flat_src = banded.spill_src_b.reshape(-1)
+    gather_src = (xh_flat.astype(jnp.bfloat16)
+                  if compute_dtype == "bfloat16" else xh_flat)
+    xh_spill_b = gather_rows_reduce_bwd(
+        banded.spill_red_maxj, gather_src, flat_src, banded.spill_perm,
+        banded.spill_src_sorted, banded.spill_red_first,
+        banded.spill_red_jcount).reshape(t_count, s_max, hc)
+    # spill el logits + dead mask (attention parts are added in-kernel)
+    dead = banded.spill_dst_local_b.reshape(-1) < 0
+    if m_edge is not None:
+        el_sp = (banded.spill_eattr_b.reshape(-1, banded.spill_eattr_b
+                                              .shape[-1]) @ m_edge)
+        el_sp = jnp.where(dead[:, None], NEG_BIG, el_sp)
+    else:
+        el_sp = jnp.where(dead[:, None], NEG_BIG,
+                          jnp.zeros((t_count * s_max, h_dim), jnp.float32))
+    el_sp_b = el_sp.reshape(t_count, s_max, h_dim).transpose(0, 2, 1)
+
+    dm_w, dm_sp_b = (dropout_masks if dropout_masks is not None
+                     else (None, None))
+    return _fused_call_v3(
+        xh_flat, a_cat_mat, banded.loc_nb, el_w_b, el_self_t,
+        el_sp_b, xh_spill_b, banded.spill_dst_local_b, dm_w, dm_sp_b,
+        band_rows=banded.band_rows, heads=h_dim,
+        negative_slope=float(negative_slope), has_self=has_self,
+        has_dropout=dropout_masks is not None,
+        compute_dtype=compute_dtype, interpret=bool(interpret))

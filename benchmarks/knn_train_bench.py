@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--band", type=int, default=128)
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--paths", default="xla,banded_pallas")
+    ap.add_argument("--profile", action="store_true",
+                    help="trace the first path and print per-fusion "
+                         "device times instead of timing")
     args = ap.parse_args()
 
     import jax
@@ -147,6 +150,46 @@ def main():
         bs = variables.get("batch_stats", {})
         o = tx.init(p)
         return fns, p, bs, o
+
+    if args.profile:
+        import glob
+        import gzip
+        import tempfile
+        from collections import defaultdict
+
+        kernel = args.paths.split(",")[0]
+        fns, p, bs, o = build(kernel)
+        fn = fns[ITERS_LONG]
+        float(fn(p, bs, o)[1])
+        trace_dir = tempfile.mkdtemp(prefix="prof_knn_")
+        with jax.profiler.trace(trace_dir):
+            float(fn(p, bs, o)[1])
+        files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+        with gzip.open(sorted(files)[-1], "rt") as f:
+            tr = json.load(f)
+        pid_names = {}
+        for ev in tr["traceEvents"]:
+            if ev.get("ph") == "M" and ev.get("name") == "process_name":
+                pid_names[ev["pid"]] = ev["args"].get("name", "")
+        spans = defaultdict(lambda: [0.0, 0])
+        total = 0.0
+        for ev in tr["traceEvents"]:
+            if ev.get("ph") != "X":
+                continue
+            pname = pid_names.get(ev.get("pid"), "")
+            if "TPU" not in pname and "/device" not in pname.lower():
+                continue
+            name = ev.get("name", "")
+            if name.startswith("jit_"):
+                continue
+            spans[name][0] += ev.get("dur", 0)
+            spans[name][1] += 1
+            total += ev.get("dur", 0)
+        print(f"# total leaf device us/iter: {total / ITERS_LONG:.1f}")
+        for name, (dur, cnt) in sorted(spans.items(),
+                                       key=lambda kv: -kv[1][0])[:40]:
+            print(f"{dur / ITERS_LONG:9.1f} us/iter  x{cnt:5d}  {name[:100]}")
+        return
 
     for kernel in args.paths.split(","):
         fns, p, bs, o = build(kernel)
