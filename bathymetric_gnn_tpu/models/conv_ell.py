@@ -247,16 +247,26 @@ class GATConvEllBanded(nn.Module):
             a_cat_mat = jnp.concatenate(
                 [diag * att_src.reshape(h * c)[:, None],
                  diag * att_dst.reshape(h * c)[:, None]], axis=1)
-            dropout_masks = None
+            dropout_masks = drop_seed = None
             if self.dropout > 0 and not deterministic:
-                dropout_masks = make_banded_dropout_masks(
-                    self.make_rng("dropout"), self.dropout, n, k, h,
-                    banded.spill_dst_local_b.shape, wide=True)
+                rng = self.make_rng("dropout")
+                if jax.default_backend() == "tpu":
+                    # in-kernel rng dropout: fwd/bwd regenerate the same
+                    # per-band draw from this seed — no mask tensors are
+                    # generated or streamed. CPU/interpret keeps streamed
+                    # masks so parity tests can pin the draw.
+                    drop_seed = jax.lax.bitcast_convert_type(
+                        jax.random.bits(rng, (2,), jnp.uint32), jnp.int32)
+                else:
+                    dropout_masks = make_banded_dropout_masks(
+                        rng, self.dropout, n, k, h,
+                        banded.spill_dst_local_b.shape, wide=True)
             out2 = ell_gat_fused_wide_pallas(
                 xh, a_cat_mat, el_w_b, el_self_t, m_edge, banded,
                 negative_slope=self.negative_slope,
                 compute_dtype=self.compute_dtype,
-                dropout_masks=dropout_masks,
+                dropout_masks=dropout_masks, drop_seed=drop_seed,
+                keep_prob=1.0 - self.dropout,
             )
             out = out2.reshape(n, h, c)
         elif self.use_pallas:

@@ -1045,6 +1045,37 @@ _fused_v2.defvjp(_fused_v2_fwd, _run_fused_v2_bwd)
 # ---------------------------------------------------------------------------
 
 
+def _seed_tile(drop_seed):
+    """Embed the (2,) int32 seed into an (8, 128) i32 tile at [0, :2]
+    (same convention as the grid kernels)."""
+    return jnp.zeros((8, 128), jnp.int32).at[0, :2].set(
+        drop_seed.astype(jnp.int32))
+
+
+def _gen_band_drops(seed_ref, band, heads, in_cols, s_cols, keep_prob):
+    """In-kernel attention-dropout multipliers for ONE band: the draw is
+    a pure function of (layer seed, band index) — band t's masks are
+    only ever consumed by band t's forward and backward, so fwd/bwd
+    regenerate the identical stream with no halo logic (simpler than the
+    grid kernels' neighbor-block regeneration). One `prng_seed` + two
+    `prng_random_bits` per band. prng_random_bits yields SIGNED int32 —
+    compare in the uint32 domain (grid round-4 lesson: the signed
+    comparison realized 0.70 drop at p=0.2)."""
+    import numpy as _np
+
+    thresh = _np.uint32(min(2 ** 32 - 1,
+                            int(round((1.0 - keep_prob) * 2 ** 32))))
+    inv = _np.float32(1.0 / keep_prob)
+    pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1] + band)
+    bits_in = jax.lax.bitcast_convert_type(
+        pltpu.prng_random_bits((heads, in_cols)), jnp.uint32)
+    bits_sp = jax.lax.bitcast_convert_type(
+        pltpu.prng_random_bits((heads, s_cols)), jnp.uint32)
+    dm_in = jnp.where(bits_in >= thresh, inv, 0.0)
+    dm_sp = jnp.where(bits_sp >= thresh, inv, 0.0)
+    return dm_in, dm_sp
+
+
 def _tile_lane(a, times):
     """[H, R] -> [H, times*R] by doubling lane concats."""
     if times == 1:
@@ -1085,8 +1116,9 @@ def _kernel_v3(
     el_sp,       # [1, H, S] spill edge-attr logits (-1e30 dead slots)
     xh_spill,    # [1, S, HC] gathered spill source features
     dst_loc,     # [1, 1, S] int32 local dst row of each spill (-1 dead)
-    *rest,       # optional ([1, H, (K+1)*R], [1, H, S]) dropout
-                 # multipliers, then out_ref [R, HC]
+    *rest,       # dropout streams — ([1, H, (K+1)*R], [1, H, S])
+                 # multipliers (streamed mode) or an [8, 128] i32 seed
+                 # tile (rng mode) — then out_ref [R, HC]
     R: int,
     K: int,
     heads: int,
@@ -1095,6 +1127,8 @@ def _kernel_v3(
     has_self: bool,
     upcast_dots: bool,
     has_dropout: bool,
+    rng_drop: bool = False,
+    keep_prob: float = 1.0,
     lowp: bool = False,
 ):
     W = 3 * R
@@ -1179,7 +1213,12 @@ def _kernel_v3(
             preferred_element_type=f32)
 
     ew = e_w
-    if has_dropout:
+    if rng_drop:
+        dm, dm_sp = _gen_band_drops(rest[0], pl.program_id(0), heads,
+                                    (K + 1) * R, s_dim, keep_prob)
+        e_s = e_s * dm_sp
+        ew = e_w * dm[:, :KR]
+    elif has_dropout:
         dm = rest[0][0].astype(f32)               # [H, (K+1)*R]
         dm_sp = rest[1][0].astype(f32)            # [H, S]
         e_s = e_s * dm_sp
@@ -1225,11 +1264,12 @@ def _bwd_kernel_v3(
     el_sp,                  # [1, H, S]
     xh_spill,               # [1, S, HC]
     dst_loc,                # [1, 1, S]
-    *rest,                  # optional (dm [1, H, (K+1)*R], dm_sp
-                            # [1, H, S]), then dout [R, HC], then the 6
-                            # output refs (dxh, del_w, del_self, del_sp,
-                            # dxh_spill, da_mat) and 2 VMEM scratch refs
-                            # (pend, cxc_hold) for the lagged combine
+    *rest,                  # dropout streams (streamed: dm [1, H,
+                            # (K+1)*R] + dm_sp [1, H, S]; rng: [8, 128]
+                            # i32 seed tile), then dout [R, HC], then
+                            # the 6 output refs (dxh, del_w, del_self,
+                            # del_sp, dxh_spill, da_mat) and 2 VMEM
+                            # scratch refs (pend, cxc_hold)
     R: int,
     K: int,
     heads: int,
@@ -1239,6 +1279,8 @@ def _bwd_kernel_v3(
     upcast_dots: bool,
     has_dropout: bool,
     T: int = 0,
+    rng_drop: bool = False,
+    keep_prob: float = 1.0,
     lowp: bool = False,
 ):
     """Backward of _kernel_v3, flash-style recompute. m is constant (see
@@ -1258,7 +1300,12 @@ def _bwd_kernel_v3(
     def dleaky(v):
         return jnp.where(v >= 0, 1.0, negative_slope)
 
-    if has_dropout:
+    if rng_drop:
+        dm_in, dm_sp = _gen_band_drops(
+            rest[0], pl.program_id(0), heads, (K + 1) * R,
+            dst_loc.shape[-1], keep_prob)
+        rest = rest[1:]
+    elif has_dropout:
         dm_in = rest[0][0].astype(f32)            # [H, (K+1)*R]
         dm_sp = rest[1][0].astype(f32)            # [H, S]
         rest = rest[2:]
@@ -1350,18 +1397,36 @@ def _bwd_kernel_v3(
     # ---- gradient math -------------------------------------------------
     if lowp and not upcast_dots:
         cast = lambda t: t.astype(jnp.bfloat16)
+        cdt = jnp.bfloat16
     elif lowp:
         cast = lambda t: t.astype(jnp.bfloat16).astype(f32)
+        cdt = f32
     else:
         cast = lambda t: t
+        cdt = f32
+
+    def contract_heads_cd(v_nhc):                 # cd inputs, f32 accum
+        return jax.lax.dot_general(
+            expand_mat.astype(v_nhc.dtype), v_nhc,
+            (((1,), (1,)), ((), ())), preferred_element_type=f32)
+
+    def expand_heads_cd(w_hr):                    # [H, n] -> [n, HC] cd
+        # (Mosaic matmuls accumulate f32; emit f32 and round once)
+        return jax.lax.dot_general(
+            w_hr.astype(cdt), expand_mat.astype(cdt),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=f32).astype(cdt)
     u = dout[:].astype(f32)                                     # [R, HC]
     dy = u * expand_heads(inv_d)                                # [R, HC]
     xw_b32 = xw_b[:].astype(f32)
     xh_sp32 = xh_spill[0].astype(f32)
 
+    # [KR, HC]-scale intermediates ride in the compute dtype (bf16 in
+    # lowp mode): they only feed cast() dots anyway, and at HC=256 the
+    # f32 versions were ~1200 vregs of VPU traffic per band
+    dy_rep = _tile_sub(cast(dy), K)                             # [KR, HC]
     # A[h, k*R+r] = sum_c dy[r, hC+c] * g_x_all[kR+r, hC+c]
-    dy_rep = _tile_sub(dy, K)                                   # [KR, HC]
-    A2 = contract_heads(dy_rep * g_x_all)                       # [H, KR]
+    A2 = contract_heads_cd(dy_rep * cast(g_x_all))              # [H, KR]
     sum_eA = _reduce_lane(ew * A2, R, jnp.add)                  # [H, R]
     if has_self:
         b_self = contract_heads(dy * xw_b32)                    # [H, R]
@@ -1392,11 +1457,11 @@ def _bwd_kernel_v3(
 
     # feature-path cotangents for the gathered rows: message path
     # (softmax-weighted dy) + attention path (a_src projection backward)
-    dgx = expand_heads(ew) * dy_rep                             # [KR, HC]
-    dgx = dgx + jax.lax.dot_general(
+    dgx = expand_heads_cd(ew) * dy_rep                          # [KR, HC]
+    dgx = dgx + cast(jax.lax.dot_general(
         dl_w, a_mat32[:, :heads], (((0,), (1,)), ((), ())),
-        preferred_element_type=f32)                             # [KR, HC]
-    dxw = jax.lax.dot_general(cast(ohT.astype(f32)), cast(dgx),
+        preferred_element_type=f32))                            # [KR, HC]
+    dxw = jax.lax.dot_general(ohT, dgx.astype(ohT.dtype),
                               (((0,), (0,)), ((), ())),
                               preferred_element_type=f32)       # [W, HC]
 
@@ -1479,7 +1544,7 @@ def _bwd_kernel_v3(
 def _v3_specs_args(xcd, a_cat_mat, loc_nb, el_w_b, el_self_t, el_sp_b,
                    xh_spill_b, dst_loc_b, dm_w, dm_sp_b, *, r, hc, k,
                    heads, s_max, t_count, cd, has_dropout,
-                   pad_grid=False):
+                   pad_grid=False, seed_tile=None, rng_drop=False):
     # pad_grid: the backward grid runs one EXTRA step for the lagged dxh
     # combine; every input index map clamps to the last band there (the
     # loaded block is unused).
@@ -1517,7 +1582,11 @@ def _v3_specs_args(xcd, a_cat_mat, loc_nb, el_w_b, el_self_t, el_sp_b,
     ]
     args = [xcd, xcd, xcd, a_cat_mat.astype(cd), loc_nb, el_w_b,
             el_self_t, el_sp_b, xh_spill_b.astype(cd), dst_loc_b]
-    if has_dropout:
+    if rng_drop:
+        # the whole (8, 128) seed tile rides along unblocked
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(seed_tile)
+    elif has_dropout:
         in_specs.append(pl.BlockSpec((1, heads, (k + 1) * r),
                                      lambda t: (gi(t), 0, 0),
                                      memory_space=pltpu.VMEM))
@@ -1530,9 +1599,9 @@ def _v3_specs_args(xcd, a_cat_mat, loc_nb, el_w_b, el_self_t, el_sp_b,
 
 def _run_fused_v3_forward(statics, xh_flat, a_cat_mat, loc_nb, el_w_b,
                           el_self_t, el_sp_b, xh_spill_b, dst_loc_b,
-                          dm_w, dm_sp_b):
+                          dm_w, dm_sp_b, seed_tile):
     (band_rows, heads, negative_slope, has_self, has_dropout,
-     compute_dtype, interpret) = statics
+     compute_dtype, interpret, rng_drop, keep_prob) = statics
     n, hc = xh_flat.shape
     r = band_rows
     t_count = n // r
@@ -1544,7 +1613,7 @@ def _run_fused_v3_forward(statics, xh_flat, a_cat_mat, loc_nb, el_w_b,
     kern = functools.partial(
         _kernel_v3, R=r, K=k, heads=heads, C=c,
         negative_slope=negative_slope, has_self=has_self,
-        has_dropout=has_dropout,
+        has_dropout=has_dropout, rng_drop=rng_drop, keep_prob=keep_prob,
         upcast_dots=interpret and compute_dtype == "bfloat16",
         lowp=compute_dtype == "bfloat16",
     )
@@ -1552,7 +1621,8 @@ def _run_fused_v3_forward(statics, xh_flat, a_cat_mat, loc_nb, el_w_b,
     in_specs, args = _v3_specs_args(
         xcd, a_cat_mat, loc_nb, el_w_b, el_self_t, el_sp_b, xh_spill_b,
         dst_loc_b, dm_w, dm_sp_b, r=r, hc=hc, k=k, heads=heads,
-        s_max=s_max, t_count=t_count, cd=cd, has_dropout=has_dropout)
+        s_max=s_max, t_count=t_count, cd=cd, has_dropout=has_dropout,
+        seed_tile=seed_tile, rng_drop=rng_drop)
     out = pl.pallas_call(
         kern,
         grid=(t_count,),
@@ -1570,9 +1640,9 @@ def _run_fused_v3_forward(statics, xh_flat, a_cat_mat, loc_nb, el_w_b,
 
 def _run_fused_v3_bwd(statics, res, g):
     (band_rows, heads, negative_slope, has_self, has_dropout,
-     compute_dtype, interpret) = statics
+     compute_dtype, interpret, rng_drop, keep_prob) = statics
     (xh_flat, a_cat_mat, loc_nb, el_w_b, el_self_t, el_sp_b,
-     xh_spill_b, dst_loc_b, dm_w, dm_sp_b) = res
+     xh_spill_b, dst_loc_b, dm_w, dm_sp_b, seed_tile) = res
     n, hc = xh_flat.shape
     r = band_rows
     t_count = n // r
@@ -1584,7 +1654,7 @@ def _run_fused_v3_bwd(statics, res, g):
     kern = functools.partial(
         _bwd_kernel_v3, R=r, K=k, heads=heads, C=c,
         negative_slope=negative_slope, has_self=has_self,
-        has_dropout=has_dropout,
+        has_dropout=has_dropout, rng_drop=rng_drop, keep_prob=keep_prob,
         upcast_dots=interpret and compute_dtype == "bfloat16",
         T=t_count,
         lowp=compute_dtype == "bfloat16",
@@ -1594,7 +1664,7 @@ def _run_fused_v3_bwd(statics, res, g):
         xcd, a_cat_mat, loc_nb, el_w_b, el_self_t, el_sp_b, xh_spill_b,
         dst_loc_b, dm_w, dm_sp_b, r=r, hc=hc, k=k, heads=heads,
         s_max=s_max, t_count=t_count, cd=cd, has_dropout=has_dropout,
-        pad_grid=True)
+        pad_grid=True, seed_tile=seed_tile, rng_drop=rng_drop)
     in_specs.append(pl.BlockSpec(
         (r, hc), lambda t: (jnp.minimum(t, t_count - 1), 0),
         memory_space=pltpu.VMEM))
@@ -1646,15 +1716,16 @@ def _run_fused_v3_bwd(statics, res, g):
             del_sp_b.astype(el_sp_b.dtype),
             dxh_spill_b.astype(xh_spill_b.dtype),
             _float0_zeros(dst_loc_b),
-            jnp.zeros_like(dm_w), jnp.zeros_like(dm_sp_b))
+            jnp.zeros_like(dm_w), jnp.zeros_like(dm_sp_b),
+            _float0_zeros(seed_tile))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_v3(statics, xh_flat, a_cat_mat, loc_nb, el_w_b, el_self_t,
-              el_sp_b, xh_spill_b, dst_loc_b, dm_w, dm_sp_b):
+              el_sp_b, xh_spill_b, dst_loc_b, dm_w, dm_sp_b, seed_tile):
     return _run_fused_v3_forward(
         statics, xh_flat, a_cat_mat, loc_nb, el_w_b, el_self_t,
-        el_sp_b, xh_spill_b, dst_loc_b, dm_w, dm_sp_b)
+        el_sp_b, xh_spill_b, dst_loc_b, dm_w, dm_sp_b, seed_tile)
 
 
 def _fused_v3_fwd(statics, *args):
@@ -1667,21 +1738,26 @@ _fused_v3.defvjp(_fused_v3_fwd, _run_fused_v3_bwd)
 @functools.partial(
     jax.jit,
     static_argnames=("band_rows", "heads", "negative_slope", "has_self",
-                     "has_dropout", "compute_dtype", "interpret"),
+                     "has_dropout", "compute_dtype", "interpret",
+                     "rng_drop", "keep_prob"),
 )
 def _fused_call_v3(xh_flat, a_cat_mat, loc_nb, el_w_b, el_self_t,
-                   el_sp_b, xh_spill_b, dst_loc_b, dm_w, dm_sp_b, *,
+                   el_sp_b, xh_spill_b, dst_loc_b, dm_w, dm_sp_b,
+                   seed_tile, *,
                    band_rows: int, heads: int, negative_slope: float,
                    has_self: bool, has_dropout: bool, compute_dtype: str,
-                   interpret: bool):
+                   interpret: bool, rng_drop: bool = False,
+                   keep_prob: float = 1.0):
     statics = (band_rows, heads, negative_slope, has_self, has_dropout,
-               compute_dtype, interpret)
+               compute_dtype, interpret, rng_drop, keep_prob)
     if dm_w is None:  # custom_vjp needs concrete (dummy) mask args
         dm_w = jnp.zeros((1, 1, 1), jnp.float32)
         dm_sp_b = jnp.zeros((1, 1, 1), jnp.float32)
+    if seed_tile is None:
+        seed_tile = jnp.zeros((8, 128), jnp.int32)
     return _fused_v3(statics, xh_flat, a_cat_mat, loc_nb, el_w_b,
                      el_self_t, el_sp_b, xh_spill_b, dst_loc_b,
-                     dm_w, dm_sp_b)
+                     dm_w, dm_sp_b, seed_tile)
 
 
 def ell_gat_fused_wide_pallas(
@@ -1695,6 +1771,8 @@ def ell_gat_fused_wide_pallas(
     negative_slope: float = 0.2,
     compute_dtype: str = "float32",
     dropout_masks: Optional[Tuple[jax.Array, jax.Array]] = None,
+    drop_seed: Optional[jax.Array] = None,
+    keep_prob: float = 1.0,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Round-5 WIDE fused banded GAT layer (see the v3 kernel banner).
@@ -1704,11 +1782,18 @@ def ell_gat_fused_wide_pallas(
     band's own attention dots. ``dropout_masks``: optional
     ([T, H, (K+1)*R], [T, H, S_max]) wide-layout post-softmax weight
     multipliers (make_banded_dropout_masks(..., wide=True)).
+    ``drop_seed``: (2,) int32 — TPU-only in-kernel rng dropout instead
+    of streamed masks; band t's draw is a pure function of (seed, t), so
+    forward and backward regenerate it identically (mutually exclusive
+    with dropout_masks; bit-exactness vs the streamed path is checked by
+    benchmarks/rng_dropout_check_sparse.py).
 
     Replaces reference capability: PyG GATConv scatter/gather kernels
     (reference: models/gnn.py:120-143)."""
     if interpret is None:
         interpret = _interpret_default()
+    if drop_seed is not None and dropout_masks is not None:
+        raise ValueError("pass dropout_masks OR drop_seed, not both")
     n, h_dim, c = xh.shape
     hc = h_dim * c
     xh_flat = xh.reshape(n, hc)
@@ -1739,10 +1824,14 @@ def ell_gat_fused_wide_pallas(
 
     dm_w, dm_sp_b = (dropout_masks if dropout_masks is not None
                      else (None, None))
+    rng_drop = drop_seed is not None
+    seed_tile = _seed_tile(drop_seed) if rng_drop else None
     return _fused_call_v3(
         xh_flat, a_cat_mat, banded.loc_nb, el_w_b, el_self_t,
         el_sp_b, xh_spill_b, banded.spill_dst_local_b, dm_w, dm_sp_b,
+        seed_tile,
         band_rows=banded.band_rows, heads=h_dim,
         negative_slope=float(negative_slope), has_self=has_self,
-        has_dropout=dropout_masks is not None,
-        compute_dtype=compute_dtype, interpret=bool(interpret))
+        has_dropout=dropout_masks is not None or rng_drop,
+        compute_dtype=compute_dtype, interpret=bool(interpret),
+        rng_drop=rng_drop, keep_prob=float(keep_prob))
