@@ -24,6 +24,10 @@ def parse_args(argv=None):
     p.add_argument("--config")
     p.add_argument("--min-valid-ratio", type=float, default=0.05)
     p.add_argument("--confidence-threshold", type=float, default=0.85)
+    p.add_argument("--confidence-temperature", type=float,
+                   help="override the checkpoint's fitted confidence "
+                        "temperature (calibration.json); 1.0 disables "
+                        "calibration")
     p.add_argument("--batch-node-budget", type=int, default=50000)
     p.add_argument("--knn-k", type=int,
                    help="override graph.knn_k: >0 builds k-NN graphs over "
@@ -53,7 +57,15 @@ def main(argv=None):
     from ..models.gnn import make_model
     from ..inference.pipeline import infer_in_channels
 
+    from ..inference.pipeline import apply_confidence_temperature
+
     params, batch_stats, ckpt_cfg, meta = load_checkpoint_variables(args.model)
+    conf_temp = (args.confidence_temperature
+                 if args.confidence_temperature is not None
+                 else float(meta.get("confidence_temperature", 1.0)))
+    if conf_temp != 1.0:
+        logger.info("confidence temperature %.4f (calibration.json)",
+                    conf_temp)
     if meta.get("param_layout") == "grid":
         raise SystemExit("native VR inference needs a COO-layout checkpoint "
                          "(trained with the graph Trainer)")
@@ -85,24 +97,25 @@ def main(argv=None):
         480-503): subtract corrections on confident noise, scale
         uncertainty by 2-confidence."""
         valid = grid.valid_mask
+        conf = apply_confidence_temperature(out["confidence"], conf_temp)
         m = (valid & (out["classification"] == CLASS_NOISE)
-             & (out["confidence"] >= args.confidence_threshold))
+             & (conf >= args.confidence_threshold))
         corrected = grid.depth.copy()
         corrected[m] -= out["correction"][m]
         unc = grid.uncertainty.copy()
         if not args.no_uncertainty_scaling:
-            unc[m] *= (2.0 - out["confidence"][m])
+            unc[m] *= (2.0 - conf[m])
         writer.update_refinement_batch(grid, corrected, unc)
         if sidecar is not None:
             sidecar.add_refinement_results(
                 grid, out["classification"].astype(np.float32),
-                out["confidence"], out["correction"],
+                conf, out["correction"],
             )
         stats["grids"] += 1
         stats["cells_corrected"] += int(m.sum())
         stats["total_nodes"] += int(valid.sum())
         if valid.any():
-            stats["confidences"].append(float(out["confidence"][valid].mean()))
+            stats["confidences"].append(float(conf[valid].mean()))
 
     try:
         for grid in handler.iterate_refinements(args.min_valid_ratio):

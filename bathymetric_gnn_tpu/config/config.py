@@ -166,6 +166,12 @@ class InferenceConfig:
     # calibration on your own surveys (`evaluate-model` reports it).
     auto_correct_threshold: float = 0.85
     review_threshold: float = 0.6
+    # round-5: post-hoc confidence temperature (conf' =
+    # sigmoid(logit(conf) / T)). The Trainer fits T on the validation
+    # split after training and writes calibration.json beside each
+    # checkpoint; the CLIs load it automatically, making the 0.85
+    # default usable instead of a coin flip. 1.0 = raw head output.
+    confidence_temperature: float = 1.0
     batch_node_budget: int = 50000
     vr_bag_mode: str = "refinements"  # refinements | resampled | base
 

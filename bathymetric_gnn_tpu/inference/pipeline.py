@@ -45,7 +45,41 @@ def load_checkpoint_variables(checkpoint_dir) -> Tuple[Dict, Dict, Config, Dict]
     cfg_path = path.parent / "config.yaml"
     cfg = Config.load(cfg_path) if cfg_path.exists() else Config()
     meta = restored.get("meta", {}) or {}
+    # round-5 confidence calibration: the Trainer writes calibration.json
+    # beside each checkpoint (see Trainer.calibrate_confidence); loading
+    # it here makes every inference surface apply it by default. A
+    # non-default temperature in config.yaml wins (explicit user choice).
+    t_cal = load_confidence_calibration(path)
+    meta.setdefault("confidence_temperature", t_cal)
+    if cfg.inference.confidence_temperature == 1.0:
+        cfg.inference.confidence_temperature = t_cal
     return restored["params"], restored.get("batch_stats", {}), cfg, meta
+
+
+def load_confidence_calibration(checkpoint_dir) -> float:
+    """Temperature from calibration.json in the checkpoint dir (or its
+    parent run dir); 1.0 when absent (uncalibrated head)."""
+    import json
+
+    for d in (Path(checkpoint_dir), Path(checkpoint_dir).parent):
+        f = d / "calibration.json"
+        if f.exists():
+            try:
+                return float(json.loads(f.read_text())
+                             .get("confidence_temperature", 1.0))
+            except (ValueError, OSError):
+                logger.warning("unreadable calibration.json at %s", f)
+    return 1.0
+
+
+def apply_confidence_temperature(conf: "np.ndarray", t: float):
+    """conf' = sigmoid(logit(conf) / t) — monotone, so ranking and any
+    threshold sweep's trade-off curve are unchanged; only the absolute
+    scale moves (t < 1 sharpens an underconfident head)."""
+    if t == 1.0:
+        return conf
+    c = np.clip(conf, 1e-6, 1.0 - 1e-6)
+    return (1.0 / (1.0 + ((1.0 - c) / c) ** (1.0 / t))).astype(conf.dtype)
 
 
 def _pack_channels(out: Dict, corr) -> jax.Array:
@@ -281,6 +315,8 @@ class BathymetricPipeline:
         final["correction"][unproc] = 0.0
         for ch in ("confidence", "correction"):
             final[ch] = np.nan_to_num(final[ch], nan=0.0)
+        final["confidence"] = apply_confidence_temperature(
+            final["confidence"], self.config.inference.confidence_temperature)
 
         cleaned, n_corrected = self._apply_corrections(grid, final, valid)
         out_grid = BathymetricGrid(

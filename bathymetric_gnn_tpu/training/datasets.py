@@ -214,16 +214,39 @@ class GroundTruthTileDataset:
     def raw_item(self, idx: int, seed: Optional[int] = None) -> Dict:
         """Host-only half: raster IO + window slicing (pure numpy/IO —
         worker-process safe, see SyntheticTileDataset.raw_item). ``seed``
-        is accepted for interface parity (GT tiles are deterministic)."""
+        is accepted for interface parity (GT tiles are deterministic).
+
+        Round 5: GeoTIFF rasters are read WINDOWED — only the deflate
+        strips covering the tile's row range are decompressed
+        (io/geotiff.GeoTiffWindowReader), instead of inflating the whole
+        raster per tile. The reader is opened per call so the dataset
+        stays picklable for the multi-process loader's spawn workers."""
         path, spec = self.index[idx]
-        bands, meta = self._read_bands(path)
-        sl = np.s_[spec.row_start:spec.row_end, spec.col_start:spec.col_end]
-        labels = bands[0][sl]
-        diff = bands[1][sl]
-        noisy = bands[2][sl]
-        unc = bands[4][sl] if len(bands) > 4 else None
+        sl_rows = (spec.row_start, spec.row_end)
+        sl_cols = np.s_[spec.col_start:spec.col_end]
+        if str(path).lower().endswith((".tif", ".tiff")):
+            from ..io.geotiff import GeoTiffWindowReader
+
+            with GeoTiffWindowReader(path) as rd:
+                def band(i):
+                    return rd.read_rows(i, *sl_rows)[:, sl_cols]
+
+                labels = band(0)
+                diff = band(1)
+                noisy = band(2)
+                unc = band(4) if rd.bands > 4 else None
+                ps = rd.info.pixel_scale
+                res = (abs(ps[0]), abs(ps[1])) if ps else (1.0, 1.0)
+        else:
+            bands, meta = self._read_bands(path)
+            sl = np.s_[spec.row_start:spec.row_end,
+                       spec.col_start:spec.col_end]
+            labels = bands[0][sl]
+            diff = bands[1][sl]
+            noisy = bands[2][sl]
+            unc = bands[4][sl] if len(bands) > 4 else None
+            res = meta.get("resolution", (1.0, 1.0))
         valid = labels >= 0
-        res = meta.get("resolution", (1.0, 1.0))
         return {"noisy": noisy, "valid": valid, "unc": unc, "res": res,
                 "labels": np.maximum(labels, 0), "raw_corr": diff}
 

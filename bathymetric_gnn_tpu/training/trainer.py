@@ -483,10 +483,94 @@ class Trainer:
         self.save_checkpoint(state, epoch, best_val, "final")
         with open(self.output_dir / "history.json", "w") as f:
             json.dump(self.history, f)
+        try:
+            self.calibrate_confidence(state)
+        except Exception:  # calibration is best-effort post-processing
+            logger.exception("confidence calibration failed; checkpoints "
+                             "ship without calibration.json (T=1)")
         if self._mp_loader is not None:
             self._mp_loader.close()
             self._mp_loader = None
         return state
+
+    def calibrate_confidence(self, state: TrainState) -> float:
+        """Post-training temperature scaling of the confidence head
+        (round 5): the BCE-trained sigmoid RANKS spikes well but
+        concentrates its mass below the reference's 0.85 auto-correct
+        bar (round-4 threshold sweep: 0.91 spike recall at 0.6, ~0 at
+        0.85). Fits one scalar T on the validation split by minimizing
+        BCE(sigmoid(logit/T), 1[pred == true]) — a monotone transform,
+        so ranking (and the recall/false-correction trade-off curve) is
+        untouched; only the absolute scale moves. Writes
+        calibration.json beside every checkpoint; inference divides the
+        confidence logit by T (inference/pipeline.py).
+        Reference axis: training/losses.py:95-128 (the loss this
+        calibrates against), scripts/inference_native.py:488-496 (the
+        threshold that consumes it)."""
+        ds = self.val_dataset if self.val_dataset is not None \
+            else self.train_dataset
+
+        @jax.jit
+        def fwd(params, bs, graph, banded=None):
+            kw = {"banded": banded} if banded is not None else {}
+            out = self.model.apply({"params": params, "batch_stats": bs},
+                                   graph, deterministic=True, **kw)
+            return out["confidence"], out["predicted_class"]
+
+        confs, corrects = [], []
+        rng = np.random.default_rng(0)
+        for graph, targets in epoch_batches(ds, self.config.training.batch_size,
+                                            rng, shuffle=False):
+            if self.use_banded_training:
+                g, banded = self._sparse_batch(graph)
+                c, pc = fwd(state.params, state.batch_stats, g, banded)
+                m = np.asarray(g.node_mask).astype(bool).reshape(-1)
+            else:
+                c, pc = fwd(state.params, state.batch_stats, graph)
+                m = np.asarray(graph.node_mask).astype(bool).reshape(-1)
+            labels = np.asarray(targets["labels"]).reshape(-1)[m]
+            confs.append(np.asarray(c, np.float64).reshape(-1)[m])
+            corrects.append(np.asarray(pc).reshape(-1)[m] == labels)
+        c = np.clip(np.concatenate(confs), 1e-6, 1.0 - 1e-6)
+        y = np.concatenate(corrects).astype(np.float64)
+        z = np.log(c / (1.0 - c))
+
+        def bce(t):
+            p = np.clip(1.0 / (1.0 + np.exp(-z / t)), 1e-12, 1 - 1e-12)
+            return float(-np.mean(y * np.log(p)
+                                  + (1.0 - y) * np.log(1.0 - p)))
+
+        # golden-section search on log10(T) in [-2, 2]
+        gr = (math.sqrt(5.0) - 1.0) / 2.0
+        a, b = -2.0, 2.0
+        c1, c2 = b - gr * (b - a), a + gr * (b - a)
+        f1, f2 = bce(10 ** c1), bce(10 ** c2)
+        for _ in range(40):
+            if f1 < f2:
+                b, c2, f2 = c2, c1, f1
+                c1 = b - gr * (b - a)
+                f1 = bce(10 ** c1)
+            else:
+                a, c1, f1 = c1, c2, f2
+                c2 = a + gr * (b - a)
+                f2 = bce(10 ** c2)
+        t_fit = float(10 ** ((a + b) / 2.0))
+        info = {
+            "confidence_temperature": t_fit,
+            "val_bce_raw": bce(1.0),
+            "val_bce_calibrated": bce(t_fit),
+            "val_nodes": int(y.size),
+            "val_accuracy": float(y.mean()),
+        }
+        for name in ("", "best", "last", "final"):
+            p = self.output_dir / name if name else self.output_dir
+            if p.is_dir():
+                with open(p / "calibration.json", "w") as f:
+                    json.dump(info, f)
+        logger.info("confidence calibration: T=%.4f (val BCE %.4f -> %.4f"
+                    ", %d nodes)", t_fit, info["val_bce_raw"],
+                    info["val_bce_calibrated"], y.size)
+        return t_fit
 
     def evaluate(self, state: TrainState) -> Tuple[float, float]:
         """Masked loss/accuracy over the validation set.
