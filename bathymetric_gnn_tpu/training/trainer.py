@@ -513,6 +513,8 @@ class Trainer:
         @jax.jit
         def fwd(params, bs, graph, banded=None):
             kw = {"banded": banded} if banded is not None else {}
+            if banded is None:
+                graph = merge_stacked(graph)
             out = self.model.apply({"params": params, "batch_stats": bs},
                                    graph, deterministic=True, **kw)
             return out["confidence"], out["predicted_class"]

@@ -93,16 +93,27 @@ def quick_train(tmp, epochs, seed=0):
         ),
     )
     surfaces = []
-    for s in range(6):
+    for s in range(8):
         yy, xx = np.mgrid[0:256, 0:256].astype(np.float32)
         surf = (25 + 6 * np.sin((xx + 31 * s) / 11) + 4 * np.cos(yy / 9)
                 + rng.normal(0, 0.02, (256, 256))).astype(np.float32)
         surfaces.append(surf)
-    ds = SyntheticTileDataset(surfaces, cfg, tile_size=tile, overlap=8,
+    ds = SyntheticTileDataset(surfaces[:6], cfg, tile_size=tile, overlap=8,
                               min_valid_ratio=0.0, seed=seed)
+    # validation on SMALL tiles (round 5): the deployment surface is
+    # 6-48 px refinement grids, and the confidence head's calibration
+    # shifts with graph size (boundary-dominated receptive fields) — a
+    # 32 px val set lets Trainer.calibrate_confidence fit a temperature
+    # that transfers to the refinements, instead of T~1 on same-size
+    # train tiles (where the head is already calibrated in-distribution)
+    cfg.bucket.node_buckets = (32 * 32, tile * tile)
+    val_ds = SyntheticTileDataset(surfaces[6:], cfg, tile_size=32,
+                                  overlap=4, min_valid_ratio=0.0,
+                                  seed=seed + 500)
     model = make_model(cfg.model, in_channels=7, edge_dim=3)
     out_dir = Path(tmp) / "ckpt"
-    trainer = Trainer(cfg, model, ds, output_dir=str(out_dir))
+    trainer = Trainer(cfg, model, ds, val_dataset=val_ds,
+                      output_dir=str(out_dir))
     trainer.train()
     return out_dir / "best"
 
