@@ -57,15 +57,16 @@ def main(argv=None):
     from ..models.gnn import make_model
     from ..inference.pipeline import infer_in_channels
 
-    from ..inference.pipeline import apply_confidence_temperature
+    from ..inference.pipeline import apply_confidence_calibration
 
     params, batch_stats, ckpt_cfg, meta = load_checkpoint_variables(args.model)
-    conf_temp = (args.confidence_temperature
-                 if args.confidence_temperature is not None
-                 else float(meta.get("confidence_temperature", 1.0)))
-    if conf_temp != 1.0:
-        logger.info("confidence temperature %.4f (calibration.json)",
-                    conf_temp)
+    if args.confidence_temperature is not None:
+        conf_cal = (1.0 / args.confidence_temperature, 0.0)
+    else:
+        conf_cal = tuple(meta.get("confidence_calibration", (1.0, 0.0)))
+    if conf_cal != (1.0, 0.0):
+        logger.info("confidence calibration scale=%.4f bias=%.4f "
+                    "(calibration.json)", *conf_cal)
     if meta.get("param_layout") == "grid":
         raise SystemExit("native VR inference needs a COO-layout checkpoint "
                          "(trained with the graph Trainer)")
@@ -97,7 +98,7 @@ def main(argv=None):
         480-503): subtract corrections on confident noise, scale
         uncertainty by 2-confidence."""
         valid = grid.valid_mask
-        conf = apply_confidence_temperature(out["confidence"], conf_temp)
+        conf = apply_confidence_calibration(out["confidence"], *conf_cal)
         m = (valid & (out["classification"] == CLASS_NOISE)
              & (conf >= args.confidence_threshold))
         corrected = grid.depth.copy()

@@ -166,12 +166,18 @@ class InferenceConfig:
     # calibration on your own surveys (`evaluate-model` reports it).
     auto_correct_threshold: float = 0.85
     review_threshold: float = 0.6
-    # round-5: post-hoc confidence temperature (conf' =
-    # sigmoid(logit(conf) / T)). The Trainer fits T on the validation
-    # split after training and writes calibration.json beside each
-    # checkpoint; the CLIs load it automatically, making the 0.85
-    # default usable instead of a coin flip. 1.0 = raw head output.
+    # round-5: post-hoc Platt calibration of the confidence head
+    # (conf' = sigmoid(scale * logit(conf) + bias), monotone for
+    # scale > 0). The Trainer fits (scale, bias) on the validation
+    # split's PREDICTED-NOISE cells — exactly the set the auto-correct
+    # threshold gates — after training and writes calibration.json
+    # beside each checkpoint; the CLIs load it automatically, making
+    # the 0.85 default usable instead of a coin flip. (1, 0) = raw
+    # head output. A non-default confidence_temperature is an explicit
+    # user override and maps to scale = 1/T, bias = 0.
     confidence_temperature: float = 1.0
+    confidence_scale: float = 1.0
+    confidence_bias: float = 0.0
     batch_node_budget: int = 50000
     vr_bag_mode: str = "refinements"  # refinements | resampled | base
 

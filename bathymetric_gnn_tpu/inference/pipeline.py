@@ -48,38 +48,59 @@ def load_checkpoint_variables(checkpoint_dir) -> Tuple[Dict, Dict, Config, Dict]
     # round-5 confidence calibration: the Trainer writes calibration.json
     # beside each checkpoint (see Trainer.calibrate_confidence); loading
     # it here makes every inference surface apply it by default. A
-    # non-default temperature in config.yaml wins (explicit user choice).
-    t_cal = load_confidence_calibration(path)
-    meta.setdefault("confidence_temperature", t_cal)
-    if cfg.inference.confidence_temperature == 1.0:
-        cfg.inference.confidence_temperature = t_cal
+    # non-default temperature in config.yaml wins (explicit user choice,
+    # mapped to scale = 1/T, bias = 0).
+    cal = load_confidence_calibration(path)
+    meta.setdefault("confidence_calibration", (cal["scale"], cal["bias"]))
+    inf = cfg.inference
+    if inf.confidence_temperature != 1.0:
+        inf.confidence_scale = 1.0 / inf.confidence_temperature
+        inf.confidence_bias = 0.0
+    elif inf.confidence_scale == 1.0 and inf.confidence_bias == 0.0:
+        inf.confidence_scale = cal["scale"]
+        inf.confidence_bias = cal["bias"]
     return restored["params"], restored.get("batch_stats", {}), cfg, meta
 
 
-def load_confidence_calibration(checkpoint_dir) -> float:
-    """Temperature from calibration.json in the checkpoint dir (or its
-    parent run dir); 1.0 when absent (uncalibrated head)."""
+def load_confidence_calibration(checkpoint_dir) -> Dict:
+    """Platt parameters {"scale", "bias"} from calibration.json in the
+    checkpoint dir (or its parent run dir); identity when absent
+    (uncalibrated head). Legacy files carrying only
+    ``confidence_temperature`` map to scale = 1/T, bias = 0."""
     import json
 
     for d in (Path(checkpoint_dir), Path(checkpoint_dir).parent):
         f = d / "calibration.json"
         if f.exists():
             try:
-                return float(json.loads(f.read_text())
-                             .get("confidence_temperature", 1.0))
-            except (ValueError, OSError):
+                info = json.loads(f.read_text())
+                if "confidence_scale" in info:
+                    return {"scale": float(info["confidence_scale"]),
+                            "bias": float(info.get("confidence_bias", 0.0))}
+                t = float(info.get("confidence_temperature", 1.0))
+                return {"scale": 1.0 / t, "bias": 0.0}
+            except (ValueError, OSError, ZeroDivisionError):
                 logger.warning("unreadable calibration.json at %s", f)
-    return 1.0
+    return {"scale": 1.0, "bias": 0.0}
+
+
+def apply_confidence_calibration(conf: "np.ndarray", scale: float,
+                                 bias: float = 0.0):
+    """conf' = sigmoid(scale * logit(conf) + bias) — Platt scaling of
+    the confidence head. Monotone for scale > 0, so ranking and any
+    threshold sweep's trade-off curve are unchanged; only the absolute
+    scale moves (scale > 1 sharpens an underconfident head, bias shifts
+    the operating point). Identity at (1, 0)."""
+    if scale == 1.0 and bias == 0.0:
+        return conf
+    c = np.clip(conf, 1e-6, 1.0 - 1e-6)
+    z = np.log(c / (1.0 - c))
+    return (1.0 / (1.0 + np.exp(-(scale * z + bias)))).astype(conf.dtype)
 
 
 def apply_confidence_temperature(conf: "np.ndarray", t: float):
-    """conf' = sigmoid(logit(conf) / t) — monotone, so ranking and any
-    threshold sweep's trade-off curve are unchanged; only the absolute
-    scale moves (t < 1 sharpens an underconfident head)."""
-    if t == 1.0:
-        return conf
-    c = np.clip(conf, 1e-6, 1.0 - 1e-6)
-    return (1.0 / (1.0 + ((1.0 - c) / c) ** (1.0 / t))).astype(conf.dtype)
+    """Legacy single-temperature form: conf' = sigmoid(logit(conf) / t)."""
+    return apply_confidence_calibration(conf, 1.0 / t, 0.0)
 
 
 def _pack_channels(out: Dict, corr) -> jax.Array:
@@ -315,8 +336,9 @@ class BathymetricPipeline:
         final["correction"][unproc] = 0.0
         for ch in ("confidence", "correction"):
             final[ch] = np.nan_to_num(final[ch], nan=0.0)
-        final["confidence"] = apply_confidence_temperature(
-            final["confidence"], self.config.inference.confidence_temperature)
+        final["confidence"] = apply_confidence_calibration(
+            final["confidence"], self.config.inference.confidence_scale,
+            self.config.inference.confidence_bias)
 
         cleaned, n_corrected = self._apply_corrections(grid, final, valid)
         out_grid = BathymetricGrid(

@@ -493,20 +493,64 @@ class Trainer:
             self._mp_loader = None
         return state
 
+    @staticmethod
+    def fit_platt(z: np.ndarray, y: np.ndarray,
+                  lam: float = 1e-3) -> Tuple[float, float]:
+        """Ridge-regularized Newton fit of sigmoid(a*z + b) to y in
+        {0, 1}. The mild ridge keeps separable subsets finite; clamps
+        keep the map monotone (a > 0) and numerically sane."""
+        a_f, b_f = 1.0, 0.0
+        for _ in range(60):
+            u = a_f * z + b_f
+            p = 1.0 / (1.0 + np.exp(-u))
+            g = p - y
+            w = np.maximum(p * (1.0 - p), 1e-9)
+            ga = float(np.mean(g * z)) + lam * (a_f - 1.0)
+            gb = float(np.mean(g)) + lam * b_f
+            haa = float(np.mean(w * z * z)) + lam
+            hbb = float(np.mean(w)) + lam
+            hab = float(np.mean(w * z))
+            det = haa * hbb - hab * hab
+            if det <= 1e-12:
+                break
+            da = (hbb * ga - hab * gb) / det
+            db = (haa * gb - hab * ga) / det
+            a_f = float(np.clip(a_f - da, 1e-2, 60.0))
+            b_f = float(np.clip(b_f - db, -12.0, 12.0))
+            if abs(da) < 1e-8 and abs(db) < 1e-8:
+                break
+        return a_f, b_f
+
     def calibrate_confidence(self, state: TrainState) -> float:
-        """Post-training temperature scaling of the confidence head
-        (round 5): the BCE-trained sigmoid RANKS spikes well but
-        concentrates its mass below the reference's 0.85 auto-correct
-        bar (round-4 threshold sweep: 0.91 spike recall at 0.6, ~0 at
-        0.85). Fits one scalar T on the validation split by minimizing
-        BCE(sigmoid(logit/T), 1[pred == true]) — a monotone transform,
-        so ranking (and the recall/false-correction trade-off curve) is
-        untouched; only the absolute scale moves. Writes
-        calibration.json beside every checkpoint; inference divides the
-        confidence logit by T (inference/pipeline.py).
+        """Post-training Platt scaling of the confidence head (round 5):
+        the BCE-trained sigmoid RANKS spikes well but concentrates its
+        mass below the reference's 0.85 auto-correct bar (round-4
+        threshold sweep: 0.91 spike recall at 0.6, ~0 at 0.85). A global
+        temperature fitted on ALL val cells cannot fix that — the BCE is
+        dominated by the easy, already-confident clean cells, so the
+        fitted T barely moves the predicted-noise cells the threshold
+        actually gates. This fits conf' = sigmoid(a * logit(conf) + b)
+        (a > 0 — monotone, so ranking and the recall/false-correction
+        trade-off curve are untouched) by ridge-regularized logistic
+        regression on logit(conf) over the validation split's
+        PREDICTED-NOISE cells — exactly the deployment decision set
+        (auto-correct fires on predicted-noise cells with
+        conf >= threshold). The regression target is BENEFIT — applying
+        the cell's predicted correction moves the depth toward truth
+        (|corr_pred - corr_true| < |corr_true| in normalized units) —
+        not label agreement: the deployment metric (survey RMSE)
+        improves whenever a correction helps, and the head's
+        mid-confidence mass sits on cells that are mislabeled-but-
+        helped, which a correctness target flattens to slope ~0
+        (measured round 5: fitting 1[pred == true] drove a to the 0.01
+        clamp, mapping every cell to ~0.64). Falls back to label
+        agreement when the val targets carry no correction channel.
+        Writes calibration.json beside every checkpoint; inference
+        applies (a, b) (inference/pipeline.py).
         Reference axis: training/losses.py:95-128 (the loss this
         calibrates against), scripts/inference_native.py:488-496 (the
         threshold that consumes it)."""
+        from ..config.constants import CLASS_NOISE
         ds = self.val_dataset if self.val_dataset is not None \
             else self.train_dataset
 
@@ -517,62 +561,84 @@ class Trainer:
                 graph = merge_stacked(graph)
             out = self.model.apply({"params": params, "batch_stats": bs},
                                    graph, deterministic=True, **kw)
-            return out["confidence"], out["predicted_class"]
+            return (out["confidence"], out["predicted_class"],
+                    out["correction"])
 
-        confs, corrects = [], []
+        confs, ys, noise_sel = [], [], []
         rng = np.random.default_rng(0)
         for graph, targets in epoch_batches(ds, self.config.training.batch_size,
                                             rng, shuffle=False):
             if self.use_banded_training:
                 g, banded = self._sparse_batch(graph)
-                c, pc = fwd(state.params, state.batch_stats, g, banded)
+                c, pc, cr = fwd(state.params, state.batch_stats, g, banded)
                 m = np.asarray(g.node_mask).astype(bool).reshape(-1)
             else:
-                c, pc = fwd(state.params, state.batch_stats, graph)
+                c, pc, cr = fwd(state.params, state.batch_stats, graph)
                 m = np.asarray(graph.node_mask).astype(bool).reshape(-1)
             labels = np.asarray(targets["labels"]).reshape(-1)[m]
+            pc = np.asarray(pc).reshape(-1)[m]
             confs.append(np.asarray(c, np.float64).reshape(-1)[m])
-            corrects.append(np.asarray(pc).reshape(-1)[m] == labels)
-        c = np.clip(np.concatenate(confs), 1e-6, 1.0 - 1e-6)
-        y = np.concatenate(corrects).astype(np.float64)
-        z = np.log(c / (1.0 - c))
+            if "correction" in targets:
+                corr_t = np.asarray(targets["correction"],
+                                    np.float64).reshape(-1)[m]
+                corr_p = np.asarray(cr, np.float64).reshape(-1)[m]
+                ys.append(np.abs(corr_p - corr_t) < np.abs(corr_t))
+            else:
+                ys.append(pc == labels)
+            noise_sel.append(pc == CLASS_NOISE)
+        c_all = np.clip(np.concatenate(confs), 1e-6, 1.0 - 1e-6)
+        y_all = np.concatenate(ys).astype(np.float64)
+        sel = np.concatenate(noise_sel)
+        # the decision set: auto-correct fires on predicted-noise cells;
+        # fall back to all cells when the val split has too few of them
+        # for a stable 2-parameter fit
+        fit_on = "predicted-noise" if int(sel.sum()) >= 200 else "all"
+        if fit_on == "all":
+            sel = np.ones_like(sel)
+        z = np.log(c_all[sel] / (1.0 - c_all[sel]))
+        y = y_all[sel]
 
-        def bce(t):
-            p = np.clip(1.0 / (1.0 + np.exp(-z / t)), 1e-12, 1 - 1e-12)
+        def bce(a_, b_):
+            p = np.clip(1.0 / (1.0 + np.exp(-(a_ * z + b_))),
+                        1e-12, 1 - 1e-12)
             return float(-np.mean(y * np.log(p)
                                   + (1.0 - y) * np.log(1.0 - p)))
 
-        # golden-section search on log10(T) in [-2, 2]
-        gr = (math.sqrt(5.0) - 1.0) / 2.0
-        a, b = -2.0, 2.0
-        c1, c2 = b - gr * (b - a), a + gr * (b - a)
-        f1, f2 = bce(10 ** c1), bce(10 ** c2)
-        for _ in range(40):
-            if f1 < f2:
-                b, c2, f2 = c2, c1, f1
-                c1 = b - gr * (b - a)
-                f1 = bce(10 ** c1)
-            else:
-                a, c1, f1 = c1, c2, f2
-                c2 = a + gr * (b - a)
-                f2 = bce(10 ** c2)
-        t_fit = float(10 ** ((a + b) / 2.0))
+        a_f, b_f = self.fit_platt(z, y)
+
+        def frac_above(v, thr=0.85):
+            return float(np.mean(v >= thr)) if v.size else 0.0
+
+        cal = 1.0 / (1.0 + np.exp(-(a_f * z + b_f)))
         info = {
-            "confidence_temperature": t_fit,
-            "val_bce_raw": bce(1.0),
-            "val_bce_calibrated": bce(t_fit),
-            "val_nodes": int(y.size),
-            "val_accuracy": float(y.mean()),
+            "confidence_scale": a_f,
+            "confidence_bias": b_f,
+            "fit_on": fit_on,
+            "fit_nodes": int(y.size),
+            "fit_benefit_rate": float(y.mean()) if y.size else 0.0,
+            "fit_bce_raw": bce(1.0, 0.0),
+            "fit_bce_calibrated": bce(a_f, b_f),
+            # gate-relevant diagnostics at the reference 0.85 default
+            "benefit_above_085_raw": frac_above(c_all[sel][y > 0.5]),
+            "benefit_above_085_cal": frac_above(cal[y > 0.5]),
+            "harm_above_085_raw": frac_above(c_all[sel][y < 0.5]),
+            "harm_above_085_cal": frac_above(cal[y < 0.5]),
+            "val_nodes": int(y_all.size),
+            "val_benefit_rate": float(y_all.mean()),
         }
         for name in ("", "best", "last", "final"):
             p = self.output_dir / name if name else self.output_dir
             if p.is_dir():
                 with open(p / "calibration.json", "w") as f:
                     json.dump(info, f)
-        logger.info("confidence calibration: T=%.4f (val BCE %.4f -> %.4f"
-                    ", %d nodes)", t_fit, info["val_bce_raw"],
-                    info["val_bce_calibrated"], y.size)
-        return t_fit
+        logger.info(
+            "confidence calibration: scale=%.3f bias=%.3f on %s (%d "
+            "cells, BCE %.4f -> %.4f; benefit>=0.85 %.2f -> %.2f, "
+            "harm>=0.85 %.2f -> %.2f)", a_f, b_f, fit_on, y.size,
+            info["fit_bce_raw"], info["fit_bce_calibrated"],
+            info["benefit_above_085_raw"], info["benefit_above_085_cal"],
+            info["harm_above_085_raw"], info["harm_above_085_cal"])
+        return a_f
 
     def evaluate(self, state: TrainState) -> Tuple[float, float]:
         """Masked loss/accuracy over the validation set.

@@ -19,9 +19,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
+_EVAL_CACHE = {}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--seeds", type=int, default=0,
+                    help="run the whole gate at N seeds and print a "
+                         "mean/min/max summary line (VERDICT r4 item 8)")
     ap.add_argument("--tile-size", type=int, default=128)
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--layers", type=int, default=4)
@@ -44,7 +50,22 @@ def main():
                          "feature class at ~2x weight; 0.01 gives it the "
                          "gradient share it needs to be learnable)")
     args = ap.parse_args()
+    if args.seeds > 0:
+        rows = [run_once(args, s) for s in range(args.seeds)]
+        summary = {"metric": "quality_gate_multiseed", "seeds": args.seeds,
+                   "epochs": args.epochs}
+        for k in ("accuracy", "macro_f1", "noise_f1", "feature_f1",
+                  "feature_precision", "feature_recall"):
+            vals = np.array([r[k] for r in rows], np.float64)
+            summary[k + "_mean"] = round(float(vals.mean()), 4)
+            summary[k + "_min"] = round(float(vals.min()), 4)
+            summary[k + "_max"] = round(float(vals.max()), 4)
+        print(json.dumps(summary))
+    else:
+        run_once(args, args.seed)
 
+
+def run_once(args, seed):
     import jax
 
     from bathymetric_gnn_tpu.config.config import (Config, ModelConfig,
@@ -80,7 +101,7 @@ def main():
                           compute_dtype=args.dtype,
                           use_pallas=args.use_pallas),
         training=TrainingConfig(epochs=args.epochs, batch_size=8,
-                                seed=args.seed,
+                                seed=seed,
                                 early_stop_patience=100),
         synthetic_noise=SyntheticNoiseConfig(
             feature_enabled=not args.no_features,
@@ -92,12 +113,12 @@ def main():
             # 0-prediction basin (round 4)
             feature_count_range=(3, 8)),
     )
-    train_grids = [make_surface(1000 * args.seed + i)
+    train_grids = [make_surface(1000 * seed + i)
                    for i in range(args.surfaces)]
-    val_grids = [make_surface(1000 * args.seed + 100 + i) for i in range(2)]
+    val_grids = [make_surface(1000 * seed + 100 + i) for i in range(2)]
     train_ds = SyntheticGridDataset(train_grids, cfg,
                                     tile_size=args.tile_size, overlap=16,
-                                    seed=args.seed)
+                                    seed=seed)
     val_ds = SyntheticGridDataset(val_grids, cfg, tile_size=args.tile_size,
                                   overlap=16, seed=1)
     # rare-class emphasis: estimate counts, weight with the gate's
@@ -118,19 +139,24 @@ def main():
     # held-out evaluation with full metrics
     gen = SyntheticNoiseGenerator(cfg.synthetic_noise, seed=77)
     all_pred, all_lbl, all_conf = [], [], []
-    fwd = None
     import jax.numpy as jnp
     from bathymetric_gnn_tpu.models.grid_gat import GridBathymetricGNN
 
-    eval_model = GridBathymetricGNN(
-        hidden_channels=args.hidden, num_layers=args.layers, heads=4,
-        dropout=0.0)
+    # memoized across --seeds iterations so the eval forward compiles once
+    key = (args.hidden, args.layers)
+    if key not in _EVAL_CACHE:
+        eval_model = GridBathymetricGNN(
+            hidden_channels=args.hidden, num_layers=args.layers, heads=4,
+            dropout=0.0)
 
-    @jax.jit
-    def forward(variables, depth, valid):
-        f, v, n, e, _ = build_grid_inputs(depth, valid)
-        out = eval_model.apply(variables, f, v, n, e)
-        return out["predicted_class"], out["confidence"]
+        @jax.jit
+        def forward(variables, depth, valid):
+            f, v, n, e, _ = build_grid_inputs(depth, valid)
+            out = eval_model.apply(variables, f, v, n, e)
+            return out["predicted_class"], out["confidence"]
+
+        _EVAL_CACHE[key] = forward
+    forward = _EVAL_CACHE[key]
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     for i in range(20):
@@ -151,14 +177,19 @@ def main():
     metrics["final_val_acc"] = trainer.history["val_acc"][-1]
     print_metrics(metrics)
     feat = metrics["per_class"].get("feature", {})
-    print(json.dumps({"noise_f1": metrics["per_class"]["noise"]["f1"],
-                      "feature_f1": feat.get("f1", 0.0),
-                      "feature_support": feat.get("support", 0),
-                      "accuracy": metrics["accuracy"],
-                      "macro_f1": metrics["macro_f1"]}))
+    summary = {"seed": seed,
+               "noise_f1": metrics["per_class"]["noise"]["f1"],
+               "feature_f1": feat.get("f1", 0.0),
+               "feature_precision": feat.get("precision", 0.0),
+               "feature_recall": feat.get("recall", 0.0),
+               "feature_support": feat.get("support", 0),
+               "accuracy": metrics["accuracy"],
+               "macro_f1": metrics["macro_f1"]}
+    print(json.dumps(summary))
     if args.output_json:
         with open(args.output_json, "w") as f:
             json.dump(metrics, f, indent=2)
+    return summary
 
 
 if __name__ == "__main__":

@@ -115,6 +115,10 @@ def quick_train(tmp, epochs, seed=0):
     trainer = Trainer(cfg, model, ds, val_dataset=val_ds,
                       output_dir=str(out_dir))
     trainer.train()
+    cal = out_dir / "best" / "calibration.json"
+    if cal.exists():
+        print(f"# seed {seed} calibration: {cal.read_text()}",
+              file=sys.stderr)
     return out_dir / "best"
 
 

@@ -214,3 +214,61 @@ class TestKnnSparseKernelWiring:
                      bucket=cfg0.bucket, tile=cfg0.tile)
         proc = NativeVRProcessor(model, variables, cfg)
         assert proc.sparse_kernel == "xla"  # CPU backend under tests
+
+
+class TestConfidenceCalibration:
+    """Round-5 Platt calibration: fit, apply, and checkpoint-load paths."""
+
+    def test_fit_platt_recovers_shift(self):
+        # logits where correctness flips at z = 0.4 (conf ~0.6): the fit
+        # must push correct cells above 0.85 and wrong ones below
+        from bathymetric_gnn_tpu.training.trainer import Trainer
+
+        rng = np.random.default_rng(0)
+        z = rng.normal(0.4, 0.6, 4000)
+        p_true = 1.0 / (1.0 + np.exp(-6.0 * (z - 0.4)))
+        y = (rng.random(4000) < p_true).astype(np.float64)
+        a, b = Trainer.fit_platt(z, y)
+        assert a > 1.0  # sharpened
+        cal = 1.0 / (1.0 + np.exp(-(a * z + b)))
+        assert np.mean(cal[y > 0.5] >= 0.85) > 0.55
+        assert np.mean(cal[y < 0.5] >= 0.85) < 0.25
+
+    def test_fit_platt_separable_stays_finite_monotone(self):
+        from bathymetric_gnn_tpu.training.trainer import Trainer
+
+        z = np.concatenate([np.full(300, -1.0), np.full(300, 1.0)])
+        y = (z > 0).astype(np.float64)
+        a, b = Trainer.fit_platt(z, y)
+        assert 0.0 < a <= 60.0 and np.isfinite(b)
+
+    def test_apply_identity_and_monotone(self):
+        from bathymetric_gnn_tpu.inference.pipeline import (
+            apply_confidence_calibration, apply_confidence_temperature)
+
+        c = np.linspace(0.01, 0.99, 50).astype(np.float32)
+        np.testing.assert_array_equal(
+            apply_confidence_calibration(c, 1.0, 0.0), c)
+        out = apply_confidence_calibration(c, 3.0, 1.2)
+        assert np.all(np.diff(out) > 0)  # monotone for scale > 0
+        # legacy temperature form == scale-only Platt
+        np.testing.assert_allclose(
+            apply_confidence_temperature(c, 0.5),
+            apply_confidence_calibration(c, 2.0, 0.0), rtol=1e-6)
+
+    def test_load_calibration_schemas(self, tmp_path):
+        import json
+
+        from bathymetric_gnn_tpu.inference.pipeline import \
+            load_confidence_calibration
+
+        d = tmp_path / "ckpt"
+        d.mkdir()
+        assert load_confidence_calibration(d) == {"scale": 1.0, "bias": 0.0}
+        (d / "calibration.json").write_text(
+            json.dumps({"confidence_temperature": 0.25}))
+        assert load_confidence_calibration(d)["scale"] == 4.0
+        (d / "calibration.json").write_text(json.dumps(
+            {"confidence_scale": 7.5, "confidence_bias": -2.0}))
+        cal = load_confidence_calibration(d)
+        assert cal == {"scale": 7.5, "bias": -2.0}
