@@ -150,6 +150,11 @@ class SyntheticNoiseConfig:
     feature_height_range: Tuple[float, float] = (0.5, 4.0)  # m shoaler
     feature_size_range: Tuple[int, int] = (3, 12)           # radius px
     feature_wreck_fraction: float = 0.4   # elongated (wreck-like) share
+    # label arbitration where noise hits a feature footprint: corruption
+    # at or below this magnitude keeps the FEATURE label (a wreck with a
+    # 0.2 m ripple is still a wreck); larger corruption (spikes, blobs)
+    # is labeled noise and corrected. Half the minimum feature height.
+    feature_noise_override_m: float = 0.25
 
 
 @dataclass

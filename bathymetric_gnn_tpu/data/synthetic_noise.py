@@ -108,9 +108,20 @@ class SyntheticNoiseGenerator:
             np.int64
         )
         if feature_mask is not None:
-            # noise wins where both apply: the cell's depth is corrupted
-            # and must be corrected back to the (feature) clean surface
-            classification[feature_mask & ~noise_mask] = CLASS_FEATURE
+            # Label arbitration on overlap (round 5): noise wins only
+            # where the corruption is LARGE (noise_mag above
+            # feature_noise_override_m). The systematic/gaussian families
+            # mark up to half of ALL cells as sub-meter "noise"; letting
+            # those small ripples overwrite feature labels shreds every
+            # feature footprint into label fragments the classifier
+            # cannot learn (measured round 5: feature recall pinned at
+            # ~0.07 regardless of class weights). A wreck cell carrying a
+            # 0.2 m ripple is still a wreck — preserving it is the
+            # deployment-correct action — while a spike through the same
+            # cell genuinely needs correcting and keeps the noise label.
+            small = noise_mag <= float(self.cfg.feature_noise_override_m)
+            classification[feature_mask & (~noise_mask | small)] = \
+                CLASS_FEATURE
         return NoiseLabel(noisy, clean_depth, noise_mask, noise_mag,
                           classification, feature_mask)
 

@@ -495,16 +495,22 @@ class Trainer:
 
     @staticmethod
     def fit_platt(z: np.ndarray, y: np.ndarray,
+                  sw: Optional[np.ndarray] = None,
                   lam: float = 1e-3) -> Tuple[float, float]:
         """Ridge-regularized Newton fit of sigmoid(a*z + b) to y in
-        {0, 1}. The mild ridge keeps separable subsets finite; clamps
-        keep the map monotone (a > 0) and numerically sane."""
+        {0, 1}, optionally sample-weighted by ``sw`` (normalized to
+        mean 1 internally). The mild ridge keeps separable subsets
+        finite; clamps keep the map monotone (a > 0) and numerically
+        sane."""
+        if sw is None:
+            sw = np.ones_like(z)
+        sw = sw / max(float(sw.mean()), 1e-12)
         a_f, b_f = 1.0, 0.0
         for _ in range(60):
             u = a_f * z + b_f
             p = 1.0 / (1.0 + np.exp(-u))
-            g = p - y
-            w = np.maximum(p * (1.0 - p), 1e-9)
+            g = sw * (p - y)
+            w = np.maximum(sw * p * (1.0 - p), 1e-12)
             ga = float(np.mean(g * z)) + lam * (a_f - 1.0)
             gb = float(np.mean(g)) + lam * b_f
             haa = float(np.mean(w * z * z)) + lam
@@ -564,7 +570,7 @@ class Trainer:
             return (out["confidence"], out["predicted_class"],
                     out["correction"])
 
-        confs, ys, noise_sel = [], [], []
+        confs, ys, sws, noise_sel = [], [], [], []
         rng = np.random.default_rng(0)
         for graph, targets in epoch_batches(ds, self.config.training.batch_size,
                                             rng, shuffle=False):
@@ -582,12 +588,18 @@ class Trainer:
                 corr_t = np.asarray(targets["correction"],
                                     np.float64).reshape(-1)[m]
                 corr_p = np.asarray(cr, np.float64).reshape(-1)[m]
-                ys.append(np.abs(corr_p - corr_t) < np.abs(corr_t))
+                # signed benefit of applying the correction, in
+                # normalized-depth units: error before minus error after
+                delta = np.abs(corr_t) - np.abs(corr_p - corr_t)
+                ys.append(delta > 0)
+                sws.append(np.abs(delta))
             else:
                 ys.append(pc == labels)
+                sws.append(np.ones(int(m.sum())))
             noise_sel.append(pc == CLASS_NOISE)
         c_all = np.clip(np.concatenate(confs), 1e-6, 1.0 - 1e-6)
         y_all = np.concatenate(ys).astype(np.float64)
+        sw_all = np.concatenate(sws).astype(np.float64)
         sel = np.concatenate(noise_sel)
         # the decision set: auto-correct fires on predicted-noise cells;
         # fall back to all cells when the val split has too few of them
@@ -597,14 +609,22 @@ class Trainer:
             sel = np.ones_like(sel)
         z = np.log(c_all[sel] / (1.0 - c_all[sel]))
         y = y_all[sel]
+        # magnitude weighting: the deployment metric (survey RMSE) is
+        # driven by HOW MUCH each gated correction helps or hurts, not
+        # by the benefit head-count — a corrected 8 m spike outweighs
+        # hundreds of millimetric mis-corrections. An unweighted fit
+        # collapses the slope whenever small-magnitude harm cells
+        # outnumber the big-win spikes (measured round 5).
+        sw = sw_all[sel]
+        swm = sw / max(float(sw.mean()), 1e-12)
 
         def bce(a_, b_):
             p = np.clip(1.0 / (1.0 + np.exp(-(a_ * z + b_))),
                         1e-12, 1 - 1e-12)
-            return float(-np.mean(y * np.log(p)
-                                  + (1.0 - y) * np.log(1.0 - p)))
+            return float(-np.mean(swm * (y * np.log(p)
+                                         + (1.0 - y) * np.log(1.0 - p))))
 
-        a_f, b_f = self.fit_platt(z, y)
+        a_f, b_f = self.fit_platt(z, y, sw)
 
         def frac_above(v, thr=0.85):
             return float(np.mean(v >= thr)) if v.size else 0.0
@@ -623,6 +643,12 @@ class Trainer:
             "benefit_above_085_cal": frac_above(cal[y > 0.5]),
             "harm_above_085_raw": frac_above(c_all[sel][y < 0.5]),
             "harm_above_085_cal": frac_above(cal[y < 0.5]),
+            # magnitude-weighted net gain of the 0.85 gate (normalized
+            # units, >0 means the gated set reduces error)
+            "gate_net_gain_raw": float(np.sum(
+                np.where(y > 0.5, sw, -sw) * (c_all[sel] >= 0.85))),
+            "gate_net_gain_cal": float(np.sum(
+                np.where(y > 0.5, sw, -sw) * (cal >= 0.85))),
             "val_nodes": int(y_all.size),
             "val_benefit_rate": float(y_all.mean()),
         }

@@ -49,6 +49,18 @@ def main():
                          "production default 0.1 caps the ~2%%-support "
                          "feature class at ~2x weight; 0.01 gives it the "
                          "gradient share it needs to be learnable)")
+    ap.add_argument("--noise-profile", default="reference",
+                    choices=["reference", "survey"],
+                    help="'reference': the generator's default families "
+                         "with depth_std-scaled magnitudes (noise std "
+                         "0.4-2.5 m on these surfaces — the reference's "
+                         "synthetic regime, ~10-50x harsher than real "
+                         "multibeam sensor noise). 'survey': "
+                         "production-shaped noise (3 cm sensor gaussian "
+                         "+ 1-8 m spikes on ~4%% of cells, the same "
+                         "profile the S-57 e2e experiment uses) — the "
+                         "regime BASELINE's feature-class P/R targets "
+                         "were written for")
     args = ap.parse_args()
     if args.seeds > 0:
         rows = [run_once(args, s) for s in range(args.seeds)]
@@ -111,7 +123,12 @@ def run_once(args, seed):
             # reference-parity class weights (smoothing 0.1 caps the
             # feature weight at ~2.2x) a 10-epoch model never leaves the
             # 0-prediction basin (round 4)
-            feature_count_range=(3, 8)),
+            feature_count_range=(3, 8),
+            **({"gaussian_std_range": (0.005, 0.03),
+                "spike_density_range": (0.02, 0.06),
+                "spike_magnitude_range": (0.05, 0.4),
+                "blob_enabled": False, "systematic_enabled": False}
+               if args.noise_profile == "survey" else {})),
     )
     train_grids = [make_surface(1000 * seed + i)
                    for i in range(args.surfaces)]

@@ -169,9 +169,15 @@ class TestSyntheticFeatures:
         u = set(np.unique(lbl.classification))
         assert 1 in u
         assert lbl.feature_mask is not None and lbl.feature_mask.any()
-        # noise wins where both apply
-        assert not ((lbl.classification == 1)
-                    & np.asarray(lbl.noise_mask)).any()
+        # label arbitration: LARGE corruption wins over the feature
+        # label; small ripples (<= feature_noise_override_m) keep it
+        thr = 0.25  # default feature_noise_override_m
+        big_noise = np.asarray(lbl.noise_mask) & (lbl.noise_magnitude > thr)
+        assert not ((lbl.classification == 1) & big_noise).any()
+        small_noise = (np.asarray(lbl.noise_mask)
+                       & (lbl.noise_magnitude <= thr) & lbl.feature_mask)
+        if small_noise.any():  # ripple-hit feature cells stay features
+            assert (lbl.classification[small_noise] == 1).all()
 
     def test_features_shoal_the_clean_surface(self):
         clean = np.full((96, 96), 30.0, np.float32)
