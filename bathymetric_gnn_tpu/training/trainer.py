@@ -589,8 +589,9 @@ class Trainer:
                                     np.float64).reshape(-1)[m]
                 corr_p = np.asarray(cr, np.float64).reshape(-1)[m]
                 # signed benefit of applying the correction, in
-                # normalized-depth units: error before minus error after
-                delta = np.abs(corr_t) - np.abs(corr_p - corr_t)
+                # normalized-depth units SQUARED (the deployment metric
+                # is RMSE): error^2 before minus error^2 after
+                delta = corr_t ** 2 - (corr_p - corr_t) ** 2
                 ys.append(delta > 0)
                 sws.append(np.abs(delta))
             else:
